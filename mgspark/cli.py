@@ -1,0 +1,175 @@
+"""Command-line interface mirroring the reference CLI contract.
+
+The reference (pmg.py:496-646) exposes three positional modes; a user of
+the reference can run the same invocations against this package:
+
+    python -m mgspark <k> <eps> <delta> <stream file> [output sketch file]
+    python -m mgspark <k> <eps> 0 <universe size> <stream file> [output file]
+    python -m mgspark merge <k> <eps> <delta> <sketch.json> [...]
+    python -m mgspark merge <k> <eps> 0 <universe size> <sketch.json> [...]
+    python -m mgspark userlevel <k> <eps> <delta> <user element count> <stream file>
+    python -m mgspark userlevel <k> <eps> 0 <user element count> <universe size> <stream file>
+
+plus a Spark job mode for distributed sketches over parquet tables:
+
+    python -m mgspark spark <k> <eps> <delta> <parquet path> <column> [checkpoint dir]
+
+Stream files hold one integer per line (README.md:17); sketch files are
+JSON objects ``{"key": counter}`` (pmg.py:222-225).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+from mgspark import dp
+from mgspark.kernel import MGState, mg_merge_dicts, mg_reference
+
+USAGE = """Differentially Private Misra-Gries on PySpark
+Usage:
+  Create an (epsilon, delta)-private sketch:
+    python -m mgspark <sketch size> <epsilon> <delta> <stream file> [output sketch file]
+  Create an (epsilon, 0)-private sketch:
+    python -m mgspark <sketch size> <epsilon> 0 <universe size> <stream file> [output sketch file]
+  Merge sketches with (epsilon, delta)-privacy:
+    python -m mgspark merge <sketch size> <epsilon> <delta> <sketch file> [<sketch file> ...]
+  Merge sketches with (epsilon, 0)-privacy:
+    python -m mgspark merge <sketch size> <epsilon> 0 <universe size> <sketch file> [<sketch file> ...]
+  Create a user-level (epsilon, delta)-private sketch:
+    python -m mgspark userlevel <sketch size> <epsilon> <delta> <user element count> <stream file>
+  Create a user-level (epsilon, 0)-private sketch:
+    python -m mgspark userlevel <sketch size> <epsilon> 0 <user element count> <universe size> <stream file>
+  Distributed sketch of a parquet column (Spark job):
+    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path> <column> [checkpoint dir]"""
+
+
+def _build_from_file(path: str, k: int) -> MGState:
+    """Stream a one-int-per-line file through the *sequential* kernel.
+
+    The CLI is the drop-in surface of the reference's single-stream mode,
+    so it must reproduce its exact output — including retained
+    zero-counter keys (pmg.py:31-32), which the batch/merge formulation
+    legitimately prunes.  Distributed jobs (the ``spark`` mode) use the
+    vectorized kernel instead.
+    """
+    with open(path, encoding="utf8") as stream:
+        sketch, n, d = mg_reference(map(int, stream), k)
+    return MGState.from_dict(sketch, k, n=n, d=d)
+
+
+def _load_sketch(path: str) -> dict[int, int]:
+    with open(path, encoding="utf8") as f:
+        return {int(key): counter for key, counter in json.load(f).items()}
+
+
+def _dump_sketch(sketch: dict[int, int], path: str) -> None:
+    with open(path, "w", encoding="utf8") as f:
+        json.dump({str(key): counter for key, counter in sketch.items()}, f)
+
+
+def create_sketch(argv: list[str]) -> None:
+    k = int(argv[1])
+    epsilon = float(argv[2])
+    delta = float(argv[3])
+    if delta > 0:
+        file, out_idx = argv[4], 5
+        universe_size = None
+    else:
+        universe_size, file, out_idx = int(argv[4]), argv[5], 6
+    state = _build_from_file(file, k)
+    sketch = state.to_dict()
+    if delta > 0:
+        private = dp.privatize_misra_gries(sketch, epsilon, delta)
+    else:
+        private = dp.purely_privatize_misra_gries(
+            sketch, k, epsilon, universe_size, state.n, state.d
+        )
+    print("Sketch        :", sketch)
+    print("Private sketch:", private)
+    if len(argv) > out_idx:
+        _dump_sketch(sketch, argv[out_idx])
+
+
+def merge_sketches(argv: list[str]) -> None:
+    k = int(argv[2])
+    epsilon = float(argv[3])
+    delta = float(argv[4])
+    if delta > 0:
+        files = argv[5:]
+        universe_size = None
+    else:
+        universe_size, files = int(argv[5]), argv[6:]
+    merged = mg_merge_dicts([_load_sketch(f) for f in files], k)
+    if delta > 0:
+        private = dp.privatize_merged(merged, k, epsilon, delta)
+    else:
+        private = dp.purely_privatize_merged(merged, k, epsilon, universe_size)
+    print("Merged        :", merged)
+    print("Private merged:", private)
+
+
+def create_user_level_sketch(argv: list[str]) -> None:
+    k = int(argv[2])
+    epsilon = float(argv[3])
+    delta = float(argv[4])
+    m = int(argv[5])
+    if delta > 0:
+        file = argv[6]
+        universe_size = None
+    else:
+        universe_size, file = int(argv[6]), argv[7]
+    state = _build_from_file(file, k)
+    sketch = state.to_dict()
+    if delta > 0:
+        private = dp.privatize_user_level(sketch, epsilon, delta, m)
+    else:
+        private = dp.purely_privatize_user_level(
+            sketch, k, epsilon, universe_size, state.n, state.d, m
+        )
+    print("Sketch                   :", sketch)
+    print("User-level private sketch:", private)
+
+
+def spark_sketch(argv: list[str]) -> None:
+    from mgspark.aggregate import encode_tokens, mg_sketch  # noqa: PLC0415
+    from mgspark.session import get_spark  # noqa: PLC0415
+
+    k = int(argv[2])
+    epsilon = float(argv[3])
+    delta = float(argv[4])
+    path, column = argv[5], argv[6]
+    checkpoint = argv[7] if len(argv) > 7 else None
+    spark = get_spark("mgspark-cli")
+    df = spark.read.parquet(path)
+    encoded = encode_tokens(df, column)
+    state = mg_sketch(encoded, "key", k, checkpoint_dir=checkpoint)
+    sketch = state.to_dict()
+    if delta > 0:
+        private = dp.privatize_merged(sketch, k, epsilon, delta)
+    else:
+        private = dp.purely_privatize_merged(sketch, k, epsilon, 1 << 62)
+    print("Sketch        :", sketch)
+    print("N, d          :", state.n, state.d)
+    print("Private sketch:", private)
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 5:
+        print(USAGE)
+        return
+    match argv[1]:
+        case "merge":
+            merge_sketches(argv)
+        case "userlevel":
+            create_user_level_sketch(argv)
+        case "spark":
+            spark_sketch(argv)
+        case _:
+            create_sketch(argv)
+
+
+if __name__ == "__main__":
+    main()

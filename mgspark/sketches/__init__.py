@@ -1,0 +1,88 @@
+"""Mergeable sketch/approximate-aggregation families over Spark DataFrames.
+
+High-level DataFrame API: each function stages the shared two-phase
+partial+final aggregation (see base.py) and finishes on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from mgspark.sketches.base import (  # noqa: F401
+    MergeableSketch,
+    sketch_agg,
+    sketch_partials,
+    sketch_tree_merge,
+)
+from mgspark.sketches.bloom import BloomFilter  # noqa: F401
+from mgspark.sketches.cms import CountMinSketch  # noqa: F401
+from mgspark.sketches.hll import HLLSketch  # noqa: F401
+from mgspark.sketches.kll import KLLSketch  # noqa: F401
+from mgspark.sketches.tdigest import TDigest  # noqa: F401
+
+__all__ = [
+    "MergeableSketch",
+    "HLLSketch",
+    "CountMinSketch",
+    "BloomFilter",
+    "TDigest",
+    "KLLSketch",
+    "sketch_agg",
+    "sketch_partials",
+    "sketch_tree_merge",
+    "hll_distinct",
+    "cms_estimates",
+    "bloom_build",
+    "tdigest_quantiles",
+    "kll_quantiles",
+]
+
+
+def _encoded(df: DataFrame, col: str) -> DataFrame:
+    from mgspark.aggregate import encode_tokens
+
+    return encode_tokens(df, col, key_col="_key")
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col) via distributed HLL."""
+    sketch = HLLSketch(p)
+    state = sketch_agg(_encoded(df, col), "_key", sketch)
+    return sketch.estimate(state)
+
+
+def cms_estimates(
+    df: DataFrame, col: str, probe_keys: list, eps: float = 1e-4, delta: float = 1e-3
+) -> dict:
+    """Count-Min point-frequency estimates for ``probe_keys`` (raw values)."""
+    from pyspark.sql import functions as F
+
+    sketch = CountMinSketch(eps, delta)
+    encoded = _encoded(df, col)
+    state = sketch_agg(encoded, "_key", sketch)
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame([(v,) for v in probe_keys], f"{col} {dict(df.dtypes)[col]}")
+    hashed = [r["_key"] for r in _encoded(probe_df, col).select("_key").collect()]
+    ests = sketch.estimate(state, np.asarray(hashed, dtype=np.int64))
+    return {value: int(est) for value, est in zip(probe_keys, ests)}
+
+
+def bloom_build(df: DataFrame, col: str, capacity: int = 1_000_000, fpr: float = 0.01):
+    """Build a distributed Bloom filter; returns (BloomFilter, state)."""
+    sketch = BloomFilter(capacity, fpr)
+    state = sketch_agg(_encoded(df, col), "_key", sketch)
+    return sketch, state
+
+
+def tdigest_quantiles(df: DataFrame, col: str, qs, compression: float = 200.0) -> np.ndarray:
+    sketch = TDigest(compression)
+    state = sketch_agg(df, col, sketch)
+    return sketch.quantiles(state, qs)
+
+
+def kll_quantiles(df: DataFrame, col: str, qs, k: int = 200) -> np.ndarray:
+    sketch = KLLSketch(k)
+    state = sketch_agg(df, col, sketch)
+    return np.array([sketch.quantile(state, q) for q in qs])

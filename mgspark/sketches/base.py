@@ -1,0 +1,162 @@
+"""Mergeable-sketch framework: one partial+final aggregation skeleton for
+every sketch family (HLL, Count-Min, Bloom, t-digest, KLL, ...).
+
+Same execution shape as the MG pipeline (mgspark/aggregate.py): stage 1
+is a shuffle-free ``mapInPandas`` over the scan partitions, each task
+folding its Arrow batches into one O(sketch-size) state and emitting a
+single serialized row; stage 2 tree-merges the partial rows with
+``applyInPandas``.  PySpark has no Python UDAF merge hook, so the
+partial/final split is staged explicitly.
+
+A sketch family implements the five kernel hooks below on numpy state;
+the Spark plumbing (``sketch_partials`` / ``sketch_tree_merge`` /
+``sketch_agg``) is shared and never touches per-row Python.
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["MergeableSketch", "sketch_partials", "sketch_tree_merge", "sketch_agg", "splitmix64"]
+
+SKETCH_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("partition_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("rows", LongType(), False),
+        StructField("wall_sec", DoubleType(), False),
+    ]
+)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (public-domain splitmix64 finalizer).
+
+    Re-hashes int64 keys into uniform uint64 bits for register/bucket
+    derivation — xxhash64 output alone is uniform, but families needing
+    several independent hashes derive them from this mix.
+    """
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class MergeableSketch(ABC):
+    """Kernel contract for a mergeable sketch family.
+
+    State is any picklable-free numpy structure; ``serialize`` /
+    ``deserialize`` round-trip it through ``bytes`` for the Arrow
+    boundary.  ``merge`` must be associative and commutative (or
+    order-insensitive within the family's published error bound).
+    """
+
+    name: str = "sketch"
+
+    @abstractmethod
+    def zero(self) -> Any: ...
+
+    @abstractmethod
+    def build(self, state: Any, values: pd.Series) -> Any:
+        """Fold one Arrow-batch column into the state (vectorized)."""
+
+    @abstractmethod
+    def merge(self, a: Any, b: Any) -> Any: ...
+
+    @abstractmethod
+    def serialize(self, state: Any) -> bytes: ...
+
+    @abstractmethod
+    def deserialize(self, blob: bytes) -> Any: ...
+
+
+def sketch_partials(df: DataFrame, col: str, sketch: MergeableSketch) -> DataFrame:
+    """Stage 1: one serialized partial sketch per non-empty scan partition."""
+    projected = df.select(F.col(col).alias("_v"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        start = time.perf_counter()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        state = sketch.zero()
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            state = sketch.build(state, pdf["_v"])
+        if rows == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "payload": [sketch.serialize(state)],
+                "rows": [rows],
+                "wall_sec": [time.perf_counter() - start],
+            }
+        )
+
+    return projected.mapInPandas(build, SKETCH_PARTIAL_SCHEMA)
+
+
+def sketch_tree_merge(
+    partials: DataFrame,
+    sketch: MergeableSketch,
+    fanout: int = 64,
+    num_partials: int | None = None,
+) -> DataFrame:
+    """Stage 2: lazy tree merge of partial rows (ceil(log_fan P) rounds)."""
+    if num_partials is None:
+        num_partials = partials.rdd.getNumPartitions()
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        start = time.perf_counter()
+        bucket = int(pdf["_bucket"].iloc[0])
+        pdf = pdf.sort_values("partition_id")
+        state = sketch.zero()
+        for blob in pdf["payload"]:
+            state = sketch.merge(state, sketch.deserialize(bytes(blob)))
+        return pd.DataFrame(
+            {
+                "partition_id": [bucket],
+                "payload": [sketch.serialize(state)],
+                "rows": [int(pdf["rows"].sum())],
+                "wall_sec": [time.perf_counter() - start],
+            }
+        )
+
+    merged = partials
+    remaining = max(int(num_partials), 1)
+    while True:
+        merged = (
+            merged.withColumn("_bucket", (F.col("partition_id") / fanout).cast("long"))
+            .groupBy("_bucket")
+            .applyInPandas(merge_group, SKETCH_PARTIAL_SCHEMA)
+        )
+        if remaining <= fanout:
+            return merged
+        remaining = -(-remaining // fanout)
+
+
+def sketch_agg(df: DataFrame, col: str, sketch: MergeableSketch, fanout: int = 64) -> Any:
+    """End-to-end: build + tree-merge, return the final state on the driver."""
+    partials = sketch_partials(df, col, sketch)
+    rows = sketch_tree_merge(partials, sketch, fanout).collect()
+    if not rows:
+        return sketch.zero()
+    return sketch.deserialize(bytes(rows[0]["payload"]))

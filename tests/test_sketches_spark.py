@@ -1,0 +1,85 @@
+"""Distributed sketch aggregations vs exact Spark/DuckDB answers on the
+sf0.001 testdata."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.sketches import (
+    bloom_build,
+    cms_estimates,
+    hll_distinct,
+    kll_quantiles,
+    tdigest_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    def read(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    return {name: read(name) for name in ("events", "orders", "customer", "lineitem")}
+
+
+def test_hll_distinct_user_id(tables):
+    exact = tables["events"].select("user_id").distinct().count()
+    est = hll_distinct(tables["events"], "user_id")
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_distinct_orderkey(tables):
+    exact = tables["orders"].select("o_orderkey").distinct().count()
+    est = hll_distinct(tables["orders"], "o_orderkey", p=12)
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_cms_point_estimates(tables):
+    exact = {
+        r["l_returnflag"]: r["cnt"]
+        for r in tables["lineitem"].groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    ests = cms_estimates(tables["lineitem"], "l_returnflag", list(exact), eps=1e-3)
+    for value, true in exact.items():
+        assert true <= ests[value] <= true + 10 * 1e-3 * n
+
+
+def test_bloom_membership(tables):
+    sketch, state = bloom_build(tables["orders"], "o_custkey", capacity=100_000)
+    from mgspark.aggregate import encode_tokens
+
+    member_keys = np.array(
+        [
+            r["_key"]
+            for r in encode_tokens(
+                tables["orders"].select("o_custkey").distinct(), "o_custkey", "_key"
+            )
+            .select("_key")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    assert sketch.contains(state, member_keys).all()
+
+
+def test_tdigest_quantiles_price(tables):
+    qs = [0.1, 0.5, 0.9]
+    est = tdigest_quantiles(tables["lineitem"], "l_extendedprice", qs)
+    prices = np.array(
+        [r["l_extendedprice"] for r in tables["lineitem"].select("l_extendedprice").collect()]
+    )
+    for q, e in zip(qs, est):
+        rank = (prices <= e).mean()
+        assert abs(rank - q) < 0.02
+
+
+def test_kll_quantiles_value(tables):
+    qs = [0.25, 0.5, 0.75]
+    est = kll_quantiles(tables["events"], "value", qs)
+    vals = np.array([r["value"] for r in tables["events"].select("value").collect()])
+    for q, e in zip(qs, est):
+        rank = (vals <= e).mean()
+        assert abs(rank - q) < 0.04

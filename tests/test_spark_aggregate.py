@@ -1,0 +1,170 @@
+"""End-to-end distributed MG tests against the sf0.001 testdata and the
+synthetic repo table: exactness at cardinality <= k, the deterministic
+error bound at cardinality > k, checkpoint resume, grouped+salted
+sketches, and the sha256 ingest invariant."""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.aggregate import (
+    decode_keys,
+    encode_tokens,
+    mg_partials,
+    mg_sketch,
+    mg_sketch_grouped,
+    mg_topk,
+    mg_tree_merge,
+)
+from mgspark.kernel import MGState
+from mgspark.testgen import repo_table_pandas, write_repo_table
+from mgspark.tokenize import content_tokens, ext_tokens, lang_tokens, sha256_invariant
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def repo_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("repos"))
+    write_repo_table(path, n_rows=3000)
+    return spark.read.parquet(os.path.join(path, "repos.parquet"))
+
+
+def test_topk_exact_when_cardinality_below_k(spark, docs):
+    result = {r["token"]: r["est"] for r in mg_topk(lang_tokens(docs), "token", 100).collect()}
+    exact = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert result == exact
+
+
+def test_sketch_bound_content_tokens(spark, docs):
+    k = 20
+    tokens = content_tokens(docs, "text")
+    encoded = encode_tokens(tokens, "token")
+    state = mg_sketch(encoded, "key", k)
+    exact = {
+        r["key"]: r["cnt"]
+        for r in encoded.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(exact.values())
+    assert state.n == total
+    cap = total // (k + 1)
+    assert state.d <= cap
+    assert len(state.keys) <= k
+    for key, est in zip(state.keys, state.counters):
+        true = exact.get(int(key), 0)
+        assert true - cap <= est <= true
+    # every key with true count above the cap must survive
+    survivors = set(int(key) for key in state.keys)
+    for key, cnt in exact.items():
+        if cnt > cap:
+            assert key in survivors
+
+
+def test_partials_lineage_and_tree_merge(spark, repo_df):
+    tokens = encode_tokens(content_tokens(repo_df), "token")
+    partials = mg_partials(tokens, "key", 16).cache()
+    rows = partials.collect()
+    assert len(rows) >= 1
+    assert all(r["rows"] > 0 and r["wall_sec"] >= 0 for r in rows)
+    assert all(len(r["keys"]) <= 16 for r in rows)
+    total_rows = sum(r["rows"] for r in rows)
+    assert total_rows == tokens.count()
+    final = mg_tree_merge(partials, 16, fanout=2).collect()
+    assert len(final) == 1
+    assert final[0]["n"] == total_rows
+    partials.unpersist()
+
+
+def test_checkpoint_resume(spark, docs, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    s1 = mg_sketch(tokens, "key", 10, checkpoint_dir=ckpt)
+    assert os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+    # Second run resumes from the checkpoint (same partial set -> same result).
+    s2 = mg_sketch(tokens.limit(0), "key", 10, checkpoint_dir=ckpt)
+    assert s1.to_dict() == s2.to_dict()
+    assert (s1.n, s1.d) == (s2.n, s2.d)
+
+
+def test_grouped_sketch_salted(spark, repo_df):
+    k = 12
+    encoded = encode_tokens(content_tokens(repo_df.select("lang", "content")), "token")
+    # per-lang token sketches; recompute tokens with lang retained
+    df = repo_df.select(
+        "lang", F.explode(F.split(F.col("content"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    df = encode_tokens(df, "token")
+    result = mg_sketch_grouped(df, "lang", "key", k, salt_buckets=4).collect()
+    exact = {
+        (r["lang"], r["key"]): r["cnt"]
+        for r in df.groupBy("lang", "key").agg(F.count("*").alias("cnt")).collect()
+    }
+    totals = {}
+    for (lang, _), cnt in exact.items():
+        totals[lang] = totals.get(lang, 0) + cnt
+    assert len(result) == len(totals)
+    for row in result:
+        lang = row["group"]
+        assert row["n"] == totals[lang]
+        cap = totals[lang] // (k + 1)
+        assert row["d"] <= cap
+        for key, est in zip(row["keys"], row["counters"]):
+            true = exact.get((lang, int(key)), 0)
+            assert true - cap <= est <= true
+
+
+def test_encode_decode_roundtrip(spark, docs):
+    tokens = lang_tokens(docs)
+    encoded = encode_tokens(tokens, "token")
+    keys = [r["key"] for r in encoded.select("key").distinct().collect()]
+    mapping = decode_keys(tokens, "token", keys)
+    assert len(mapping) == len(keys)
+    langs = {r["token"] for r in tokens.distinct().collect()}
+    assert set(mapping.values()) == langs
+
+
+def test_integral_column_passthrough_and_negatives_skipped(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(100)] + [(-3,)] * 10, "v long")
+    encoded = encode_tokens(df, "v")
+    state = mg_sketch(encoded, "key", 10)
+    # negatives skipped as invalid (pmg.py:82-83): n counts only valid rows
+    assert state.n == 100
+    assert state.to_dict() == {i: 20 for i in range(5)}
+
+
+def test_sha256_ingest_invariant(spark, tmp_path):
+    pdf = repo_table_pandas(500)
+    path = str(tmp_path / "repos")
+    write_repo_table(path, n_rows=500)
+    df = spark.read.parquet(os.path.join(path, "repos.parquet"))
+    spark_hashes = {
+        r["commit"]: r["content_sha256"]
+        for r in sha256_invariant(df).select("commit", "content_sha256").collect()
+    }
+    assert len(spark_hashes) == len(pdf)
+    for commit, content in zip(pdf["commit"], pdf["content"]):
+        assert spark_hashes[commit] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_repo_table_deterministic():
+    a = repo_table_pandas(300)
+    b = repo_table_pandas(300)
+    assert a.equals(b)
+    # skew: the top repo should dominate (Zipf)
+    counts = a["repo"].value_counts()
+    assert counts.iloc[0] > 3 * counts.iloc[len(counts) // 2]
+
+
+def test_ext_tokens_view(spark, repo_df):
+    toks = {r["token"] for r in ext_tokens(repo_df).distinct().collect()}
+    assert toks <= {"py", "md", "rs", "js", "ts", "java", "go", "c", "h", "txt", "json", "yml"}
+    assert "py" in toks
