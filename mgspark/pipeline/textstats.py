@@ -1,0 +1,131 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything except language ID is pure JVM column expressions (whole-stage
+codegen, SQL-oracle-able).  Language ID is an n-gram/stopword heuristic
+with a vectorized pandas implementation — a deterministic function of the
+text, checked in pytest against the documents table's ``lang`` labels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint"]
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars): whitespace token count + char length."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality features + score, all JVM expressions.
+
+    Features: alpha ratio (alnum+space chars / chars), mean token length,
+    token count.  Score: alpha_ratio clipped-scaled against degenerate
+    docs; mirrors the SQL oracle exactly (integer counts, one division,
+    round 4).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("double")
+    clean = F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
+    alpha_ratio = F.when(n_chars > 0, F.length(clean) / n_chars).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = F.round(
+        alpha_ratio
+        * F.when(n_tokens >= 10, F.lit(1.0)).otherwise(n_tokens / F.lit(10.0)),
+        4,
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+# Tiny per-language stopword lists: enough signal for a heuristic
+# classifier on the testdata languages.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "as"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine", "zu", "im"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "dans", "que", "pour", "du"},
+}
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: (id, lang_pred).
+
+    Scores = fraction of tokens in each language's stopword list; CJK
+    detection via the Unicode block ratio; argmax with 'und' fallback
+    when no evidence.  Vectorized pandas inside mapInPandas.
+    """
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("lang_pred", StringType(), False),
+        ]
+    )
+    langs = sorted(_STOPWORDS)
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["_text"].fillna("")
+            # CJK ratio via vectorized regex count
+            cjk = texts.str.count(r"[一-鿿]")
+            n_chars = texts.str.len().clip(lower=1)
+            token_lists = texts.str.lower().str.split()
+            preds = []
+            for toks, cjk_n, nc in zip(token_lists, cjk, n_chars):
+                if cjk_n / nc > 0.05:
+                    preds.append("zh")
+                    continue
+                toks = toks or []
+                if not toks:
+                    preds.append("und")
+                    continue
+                scores = [
+                    sum(1 for t in toks if t in _STOPWORDS[lang]) / len(toks)
+                    for lang in langs
+                ]
+                best = int(np.argmax(scores))
+                preds.append(langs[best] if scores[best] > 0 else "und")
+            yield pd.DataFrame(
+                {"id": pdf["_id"].to_numpy(dtype=np.int64), "lang_pred": preds}
+            )
+
+    projected = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return projected.mapInPandas(classify, schema)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized content fingerprint: sha256 of lowercased,
+    whitespace-collapsed text.  (id, fp string) — SQL-oracle-able."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.sha2(normalized, 256).alias("fp"),
+    )

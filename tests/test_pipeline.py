@@ -1,0 +1,271 @@
+"""Training-data pipeline tests: dedup (exact + LSH + simhash + jaccard),
+similarity search (brute force + LSH recall), text stats, multimodal
+plumbing — against sf0.001 testdata plus planted duplicates."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.pipeline.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from mgspark.pipeline.multimodal import (
+    byte_histogram_features,
+    decode_image,
+    extract_asset_meta,
+    sample_frames,
+    synth_assets,
+)
+from mgspark.pipeline.similarity import ann_lsh_topk, cosine_topk
+from mgspark.pipeline.textstats import fingerprint, lang_id, quality_score, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def dup_fixture(spark, docs):
+    """Documents plus planted exact and near duplicates.
+
+    Returns (df, exact_pairs, near_pairs) where pairs are
+    (original_doc_id, planted_doc_id)."""
+    rows = docs.select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+    planted, exact_pairs, near_pairs = [], [], []
+    for i, r in enumerate(rows[:10]):
+        planted.append((10_000 + i, r["text"]))  # exact dup
+        exact_pairs.append((r["doc_id"], 10_000 + i))
+    for i, r in enumerate(rows[10:20]):
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"
+        planted.append((20_000 + i, " ".join(words)))  # near dup
+        near_pairs.append((r["doc_id"], 20_000 + i))
+    base = docs.select("doc_id", "text")
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    return base.unionByName(extra), exact_pairs, near_pairs
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(dup_fixture):
+    return dup_fixture[0]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_exact_duplicate_groups(spark, docs_with_dups):
+    groups = exact_duplicate_groups(docs_with_dups, "text", "doc_id").collect()
+    assert len(groups) == 10
+    assert all(g["dup_count"] == 2 for g in groups)
+    assert all(g["keep_id"] < 10_000 for g in groups)
+
+
+def test_dedup_exact(spark, docs_with_dups):
+    total = docs_with_dups.count()
+    deduped = dedup_exact(docs_with_dups, "text", "doc_id")
+    assert deduped.count() == total - 10
+    # planted exact dups removed, originals kept
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert not any(10_000 <= d < 10_010 for d in kept)
+
+
+def test_minhash_finds_planted_near_dups(spark, dup_fixture):
+    df, exact_pairs, near_pairs = dup_fixture
+    pairs = minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.5, num_hashes=128, num_bands=32
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for orig, copy in exact_pairs:
+        assert (min(orig, copy), max(orig, copy)) in found
+    for r in pairs:
+        assert 0.5 <= r["est_jaccard"] <= 1.0
+    near_found = sum(
+        1 for orig, copy in near_pairs if (min(orig, copy), max(orig, copy)) in found
+    )
+    assert near_found >= 8
+
+
+def test_minhash_signature_determinism(spark, docs):
+    sig1 = minhash_signatures(docs.limit(50), "text", "doc_id").collect()
+    sig2 = minhash_signatures(docs.limit(50), "text", "doc_id").collect()
+    m1 = {r["id"]: r["sig"] for r in sig1}
+    m2 = {r["id"]: r["sig"] for r in sig2}
+    assert m1 == m2
+
+
+def test_simhash_near_pairs(spark, dup_fixture):
+    df, exact_pairs, _ = dup_fixture
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    assert len(fps) == df.count()
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have identical simhash -> hamming 0, all found
+    for orig, copy in exact_pairs:
+        assert (min(orig, copy), max(orig, copy)) in found
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_ngram_jaccard_exact(spark, dup_fixture):
+    df, exact_pairs, _ = dup_fixture
+    small_ids = {a for a, _ in exact_pairs} | {b for _, b in exact_pairs}
+    small = df.where(
+        F.col("doc_id").isin([int(x) for x in small_ids]) | (F.col("doc_id") < 30)
+    )
+    pairs = ngram_jaccard_pairs(small, "text", "doc_id", n=3, threshold=0.9).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    for orig, copy in exact_pairs:
+        key = (min(orig, copy), max(orig, copy))
+        assert found.get(key) == 1.0, f"planted exact pair {key} -> {found.get(key)}"
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    query = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(embeddings, "embedding", "vec_id", query, k=5).collect()
+    assert top[0]["id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    # verify against numpy brute force
+    rows = embeddings.collect()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.asarray(query, dtype=np.float64)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:5]
+    assert [r["id"] for r in top] == ids[order].tolist()
+
+
+def test_ann_lsh_recall_on_clustered_vectors(spark):
+    """LSH recall on data with actual neighbor structure.
+
+    The driver testdata embeddings are near-uniform on the sphere (LSH's
+    worst case), so recall is measured on planted clusters: 25 centers x
+    20 perturbed members; a query near a center must retrieve mostly its
+    own cluster."""
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((25, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c_idx, c in enumerate(centers):
+        for _ in range(20):
+            v = c + 0.04 * rng.standard_normal(64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, c_idx, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<float>")
+    hits = total = 0
+    for c_idx in range(3):
+        query = rows[c_idx * 20][2]
+        exact = {x["id"] for x in cosine_topk(df, "embedding", "vec_id", query, 10).collect()}
+        approx = {
+            x["id"]
+            for x in ann_lsh_topk(
+                df, "embedding", "vec_id", query, 10, n_planes=10, multiprobe=2
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.8, f"ANN recall on clustered data {recall}"
+
+
+def test_ann_lsh_prunes_on_real_embeddings(spark, embeddings):
+    """On the (near-uniform) testdata: ANN must actually prune the scan
+    and still return k results containing the trivial self-match."""
+    row = embeddings.where(F.col("vec_id") == 7).first()
+    approx = ann_lsh_topk(
+        embeddings, "embedding", "vec_id", row["embedding"], 10, n_planes=8, multiprobe=2
+    ).collect()
+    assert len(approx) == 10
+    assert approx[0]["id"] == 7 and abs(approx[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_token_stats_and_quality(spark, docs):
+    stats = {r["id"]: r for r in token_stats(docs, "text", "doc_id").collect()}
+    sample = docs.limit(20).collect()
+    for r in sample:
+        expected_tokens = len([t for t in r["text"].split(" ") if t])
+        assert stats[r["doc_id"]]["n_tokens"] == expected_tokens
+        assert stats[r["doc_id"]]["n_chars"] == len(r["text"])
+    quality = quality_score(docs, "text", "doc_id").collect()
+    for q in quality:
+        assert 0.0 <= q["alpha_ratio"] <= 1.0
+        assert 0.0 <= q["quality"] <= 1.0
+
+
+def test_lang_id_accuracy(spark):
+    # The testdata's `lang` labels are uncorrelated with its synthetic
+    # text, so accuracy is checked on texts with real language signal.
+    samples = [
+        (1, "the cat sat on the mat and it is a good day for the walk", "en"),
+        (2, "el perro corre en la casa y la luna es una luz que brilla", "es"),
+        (3, "der hund ist in dem haus und die katze ist mit der maus im garten", "de"),
+        (4, "le chat est dans la maison et les oiseaux sont dans le jardin pour une heure", "fr"),
+        (5, "这是一个中文句子 关于天气和生活", "zh"),
+        (6, "zzz qqq xxx www", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id long, text string")
+    preds = {r["id"]: r["lang_pred"] for r in lang_id(df, "text", "doc_id").collect()}
+    for i, _, expected in samples:
+        assert preds[i] == expected, f"doc {i}: {preds[i]} != {expected}"
+
+
+def test_lang_id_total_coverage(spark, docs):
+    out = lang_id(docs, "text", "doc_id")
+    assert out.count() == docs.count()
+    assert set(out.columns) == {"id", "lang_pred"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO   WORLD  "), (4, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in fingerprint(df, "text", "doc_id").collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_multimodal_meta_and_features(spark):
+    assets = synth_assets(spark, n=64)
+    meta = extract_asset_meta(assets).collect()
+    assert len(meta) == 64
+    kinds = {r["kind"] for r in meta}
+    assert kinds <= {"image", "audio", "video"}
+    for r in meta:
+        assert 16 <= r["width"] < 512 and 16 <= r["height"] < 512
+        assert r["payload_bytes"] == (r["width"] * r["height"]) % 4096
+    feats = byte_histogram_features(assets).collect()
+    assert len(feats) == 64
+    for r in feats:
+        assert len(r["features"]) == 16
+        total = sum(r["features"])
+        assert total == 0.0 or abs(total - 1.0) < 1e-9
+
+
+def test_sample_frames(spark):
+    assets = synth_assets(spark, n=64)
+    frames = sample_frames(assets, every_ms=5000)
+    meta = extract_asset_meta(assets).where(
+        (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+    )
+    expected = meta.select(
+        F.sum(F.ceil(F.col("duration_ms") / 5000)).alias("n")
+    ).first()["n"]
+    assert frames.count() == expected
+
+
+def test_decode_image_is_clearly_stubbed(spark):
+    assets = synth_assets(spark, n=4)
+    with pytest.raises(NotImplementedError):
+        decode_image(assets)
