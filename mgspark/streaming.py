@@ -1,0 +1,129 @@
+"""Structured Streaming operators.
+
+The reference is batch-only ("stream" means a Python iterable,
+pmg.py:515-517); this module extends the same mergeable MG state to real
+Structured Streaming:
+
+* :func:`mg_streaming_sketch` — a custom stateful operator via
+  ``applyInPandasWithState``: the token stream is sharded by key hash
+  into ``num_shards`` disjoint groups, each holding one O(k) MG state
+  that folds every micro-batch with the batch kernel.  Sharding by key
+  keeps the per-shard key sets disjoint, so reading the union of shard
+  sketches is itself a valid sharded-MG summary (each estimate obeys its
+  shard's N_shard/(k+1) bound, hence the global N/(k+1) bound).
+* :func:`windowed_token_counts` — watermarked tumbling-window exact
+  counts with late-data handling, for the windowed-aggregation surface
+  (pure built-ins).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mgspark.kernel import MGState, mg_build_weighted
+
+__all__ = ["mg_streaming_sketch", "windowed_token_counts"]
+
+STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("keys", ArrayType(LongType(), False), False),
+        StructField("counters", ArrayType(LongType(), False), False),
+        StructField("n", LongType(), False),
+        StructField("d", LongType(), False),
+    ]
+)
+
+STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType(), False), True),
+        StructField("counters", ArrayType(LongType(), False), True),
+        StructField("n", LongType(), True),
+        StructField("d", LongType(), True),
+    ]
+)
+
+
+def mg_streaming_sketch(
+    stream_df: DataFrame, key_col: str, k: int, num_shards: int = 8
+) -> DataFrame:
+    """Continuously-updated MG sketches over a streaming token column.
+
+    Emits one updated (shard, keys, counters, n, d) row per shard per
+    micro-batch (output mode: update).  State per shard is O(k).
+    """
+    sharded = stream_df.select(F.col(key_col).cast("long").alias("key")).withColumn(
+        "shard", F.pmod(F.col("key"), F.lit(num_shards))
+    )
+
+    def update(
+        shard_key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counters, n, d = state.get
+            mg = MGState(
+                k=k,
+                keys=np.asarray(keys, dtype=np.int64),
+                counters=np.asarray(counters, dtype=np.int64),
+                n=int(n),
+                d=int(d),
+            )
+        else:
+            mg = MGState(k=k)
+        for pdf in batches:
+            batch_keys = pdf["key"].to_numpy(dtype=np.int64, na_value=-1)
+            mg = mg_build_weighted(mg, batch_keys, np.ones(len(batch_keys), dtype=np.int64))
+        state.update((mg.keys.tolist(), mg.counters.tolist(), mg.n, mg.d))
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard_key[0])],
+                "keys": [mg.keys.tolist()],
+                "counters": [mg.counters.tolist()],
+                "n": [mg.n],
+                "d": [mg.d],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        STREAM_OUTPUT_SCHEMA,
+        STREAM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_token_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    token_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window exact token counts (late data beyond
+    the watermark is dropped by the engine)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(token_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(token_col).alias("token"),
+            "cnt",
+        )
+    )

@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the properties that make the engine scale
+are pinned here so a regression (an accidental shuffle, lost column
+pruning, lost filter pushdown) fails CI, not a 100 TB run."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.aggregate import encode_tokens, mg_partials, mg_tree_merge
+from mgspark.tokenize import content_tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_stage1_build_has_no_exchange(docs):
+    """Per-partition MG build must run on the scan partitions directly:
+    any Exchange before MapInPandas means raw tokens get shuffled."""
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    plan = _formatted(mg_partials(tokens, "key", 64))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_stage1_scan_prunes_columns(docs):
+    """The documents scan must read only the text column (ReadSchema)."""
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    plan = _formatted(mg_partials(tokens, "key", 64))
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, plan
+    assert "struct<text:string>" in read_schema_lines[0]
+
+
+def test_hashing_stays_in_codegen(docs):
+    """xxhash64 encoding must be a JVM Project, not Python work."""
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    plan = _formatted(mg_partials(tokens, "key", 64))
+    assert "xxhash64" in plan
+    # the Project carrying the hash is inside a WholeStageCodegen span
+    assert "* Project" in plan
+
+
+def test_full_job_has_single_exchange_of_partials(docs):
+    """Build + tree merge: exactly one Exchange (the tiny partial rows)."""
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    merged = mg_tree_merge(mg_partials(tokens, "key", 64), 64)
+    plan = _formatted(merged)
+    assert plan.count("Exchange") <= 2  # hashpartition of partials (+AQE read)
+    # the Exchange must sit above MapInPandas (partials), not below it
+    map_pos = plan.index("MapInPandas")
+    exchange_positions = [i for i in range(len(plan)) if plan.startswith("Exchange", i)]
+    tree_section = plan[: plan.index("(1) Scan")]
+    assert "Exchange" not in tree_section[tree_section.index("MapInPandas"):]
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    """A filter on a scanned column must appear in PushedFilters."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.where(F.col("l_returnflag") == "R").select("l_returnflag", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_broadcast_decode_join(spark, sf_dir):
+    """mg_topk-style decode must broadcast the tiny key set, never
+    shuffle the token stream for the join."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokens = content_tokens(docs, "text")
+    encoded = encode_tokens(tokens, "token")
+    some_keys = [r["key"] for r in encoded.select("key").distinct().limit(5).collect()]
+    probe = encoded.where(F.col("key").isin([int(k) for k in some_keys])).select(
+        "key", "token"
+    ).distinct()
+    plan = _formatted(probe)
+    # the isin filter is evaluated before any exchange: Filter below Exchange
+    assert "In(" in plan or "Filter" in plan
+
+
+def test_grouped_sketch_exchanges_on_salted_key(docs):
+    """mg_sketch_grouped must hash-partition on (group, salt), then on
+    group — two exchanges, both of sketch-sized rows."""
+    from mgspark.aggregate import mg_sketch_grouped
+
+    df = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    df = encode_tokens(df, "token")
+    plan = _formatted(mg_sketch_grouped(df, "lang", "key", 8, salt_buckets=4))
+    # formatted output lists each node in the tree and in the details
+    assert plan.count("FlatMapGroupsInPandas") >= 2
+    first = plan.index("hashpartitioning")
+    assert "_salt" in plan[first : first + 200]

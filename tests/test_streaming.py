@@ -1,0 +1,116 @@
+"""Structured Streaming tests: stateful MG sketch across micro-batches
+(file source, availableNow trigger) and watermarked window counts."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.streaming import mg_streaming_sketch, windowed_token_counts
+
+
+def _write_token_files(spark, path: str, n_files: int = 3, rows_per_file: int = 2000):
+    """Deterministic multi-file token stream (Zipf int keys >= 0)."""
+    rng = np.random.default_rng(42)
+    all_keys = []
+    for i in range(n_files):
+        keys = (rng.zipf(1.4, size=rows_per_file) % 50).astype("int64")
+        all_keys.append(keys)
+        pdf = __import__("pandas").DataFrame({"key": keys})
+        pdf.to_parquet(os.path.join(path, f"tokens_{i:02d}.parquet"), index=False)
+    return np.concatenate(all_keys)
+
+
+def test_mg_streaming_sketch_availablenow(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    all_keys = _write_token_files(spark, str(src))
+    k = 12
+
+    stream = spark.readStream.schema("key long").parquet(str(src))
+    out = mg_streaming_sketch(stream, "key", k, num_shards=4)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT * FROM mg_stream ORDER BY n"
+    ).collect()
+    assert rows, "stream produced no updates"
+    # latest state per shard = the row with max n per shard
+    latest = {}
+    for r in rows:
+        if r["shard"] not in latest or r["n"] > latest[r["shard"]]["n"]:
+            latest[r["shard"]] = r
+
+    # union of shard sketches obeys the per-shard MG bound
+    exact = {}
+    for key in all_keys:
+        exact[int(key)] = exact.get(int(key), 0) + 1
+    total_n = sum(r["n"] for r in latest.values())
+    assert total_n == len(all_keys)
+    for shard, r in latest.items():
+        shard_exact = {key: c for key, c in exact.items() if key % 4 == shard}
+        shard_n = sum(shard_exact.values())
+        assert r["n"] == shard_n
+        cap = shard_n // (k + 1)
+        assert r["d"] <= cap
+        for key, est in zip(r["keys"], r["counters"]):
+            true = shard_exact.get(int(key), 0)
+            assert true - cap <= est <= true
+
+
+def test_windowed_token_counts(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # two files -> two micro-batches (maxFilesPerTrigger=1): the second
+    # batch advances the watermark past the first windows so append mode
+    # can emit them.
+    for fidx, minutes in enumerate([(0, 1), (10,)]):
+        rows = []
+        for minute in minutes:
+            for i, tok in enumerate(["a", "a", "b"]):
+                rows.append((base + pd.Timedelta(minutes=minute, seconds=i), tok))
+        pd.DataFrame(rows, columns=["ts", "token"]).to_parquet(
+            os.path.join(str(src), f"part{fidx}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_token_counts(stream, "ts", "token", window="1 minute")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["token"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # append mode only emits windows the watermark has passed; with
+    # availableNow the final watermark covers the first two windows.
+    # the first two windows (minutes 0 and 1) are finalized by the
+    # minute-10 data; the minute-10 window stays open past end-of-stream.
+    assert len(got) == 4, got
+    for (ws, tok), cnt in got.items():
+        assert cnt == (2 if tok == "a" else 1)
