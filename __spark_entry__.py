@@ -249,6 +249,68 @@ def q_cms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_user_level_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level approx-DP heavy hitters: events.user_id is the user,
+    event_type the token; contribution bound derived distributedly
+    (random release -> rows-only)."""
+    from mgspark.aggregate import decode_keys, mg_user_level_release
+
+    events = _read(spark, sf_dir, "events")
+    released = mg_user_level_release(
+        events, "user_id", "event_type", k=10, epsilon=50.0, delta=1e-3
+    )
+    mapping = decode_keys(
+        events.select(F.col("event_type").alias("token")), "token", list(released)
+    )
+    rows = [(mapping.get(key, str(key)), int(cnt)) for key, cnt in released.items()]
+    return spark.createDataFrame(rows, "token string, est long")
+
+
+def q_mg_pure_dp_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure epsilon-DP release with a frozen dictionary universe
+    (random -> rows-only).  Universe = distinct token dictionary size,
+    keys dictionary-encoded so the pure mechanism's [0, U) domain holds."""
+    from mgspark import dp
+    from mgspark.aggregate import mg_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    # dictionary-encode langs to dense ids [0, U)
+    dictionary = {
+        r["lang"]: i
+        for i, r in enumerate(docs.select("lang").distinct().orderBy("lang").collect())
+    }
+    inverse = {i: lang for lang, i in dictionary.items()}
+    mapping = F.create_map(
+        *[x for lang, i in dictionary.items() for x in (F.lit(lang), F.lit(i))]
+    )
+    encoded = docs.select(mapping[F.col("lang")].cast("long").alias("key"))
+    state = mg_sketch(encoded, "key", k=3)
+    released = dp.purely_privatize_merged(
+        state.to_dict(), 3, epsilon=5.0, universe_size=len(dictionary) + 1
+    )
+    rows = [(inverse.get(key, f"u{key}"), int(cnt)) for key, cnt in released.items()]
+    return spark.createDataFrame(rows, "token string, est long")
+
+
+def q_mg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MG over pre-aggregated (token, weight) rows — the weighted build
+    path.  Cardinality <= k, so exact: same oracle as plain top-k."""
+    from mgspark.aggregate import decode_keys, encode_tokens, mg_sketch
+
+    events = _read(spark, sf_dir, "events")
+    pre = events.groupBy("event_type").agg(F.count("*").alias("w"))
+    encoded = encode_tokens(pre, "event_type")
+    state = mg_sketch(encoded, "key", 10, weight_col="w")
+    mapping = decode_keys(
+        events.select(F.col("event_type").alias("token")), "token", state.keys.tolist()
+    )
+    rows = [
+        (mapping.get(int(key), str(int(key))), int(cnt))
+        for key, cnt in zip(state.keys, state.counters)
+    ]
+    return spark.createDataFrame(rows, "token string, est long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed MG heavy hitters over document tokens at sf0.001."""
     return q_mg_topk_doc_tokens_exact(spark, "/root/testdata/sf0.001")
@@ -284,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "cms_returnflag": q_cms_returnflag,
+        # user-level / pure DP / weighted build paths
+        "mg_user_level_event_type": q_mg_user_level_event_type,
+        "mg_pure_dp_doc_lang": q_mg_pure_dp_doc_lang,
+        "mg_topk_weighted": q_mg_topk_weighted,
     }
 
 
@@ -357,6 +423,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_returnflag": (
             "SELECT l_returnflag AS token, COUNT(*) AS est FROM lineitem "
             "GROUP BY l_returnflag"
+        ),
+        "mg_topk_weighted": (
+            "SELECT event_type AS token, COUNT(*) AS est FROM events "
+            "GROUP BY event_type"
         ),
         # rows-only (approximate / randomized / not SQL-expressible):
         # mg_sketch_doc_tokens_k8, mg_private_topk_event_type, lang_id,

@@ -141,34 +141,55 @@ def mg_partials(
 ) -> DataFrame:
     """Stage 1: per-partition MG build, no shuffle.
 
-    ``mapInPandas`` streams Arrow batches through a vectorized
+    ``mapInArrow`` streams raw Arrow record batches through a vectorized
     value_counts + merge fold (SURVEY.md §4.2) holding only O(k) state,
-    and emits exactly one partial-sketch row per non-empty task.
+    and emits exactly one partial-sketch row per non-empty task.  Arrow
+    columns go straight to numpy — no pandas block-manager construction
+    in the hot path (~40% of per-task time in profiling).
     """
+    import pyarrow as pa
+
     cols = [F.col(key_col).cast("long").alias("key")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("weight"))
     projected = df.select(*cols)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _to_int64(column, fill: int) -> np.ndarray:
+        if column.null_count:
+            import pyarrow.compute as pc
+
+            column = pc.fill_null(column, fill)
+        return column.to_numpy(zero_copy_only=False)
+
+    def build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         start = time.perf_counter()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         state = MGState(k=k)
         rows = 0
-        for pdf in batches:
-            rows += len(pdf)
-            keys = pdf["key"].to_numpy(dtype=np.int64, na_value=-1)
+        for batch in batches:
+            rows += batch.num_rows
+            keys = _to_int64(batch.column(0), -1)
             if weight_col is not None:
-                weights = pdf["weight"].to_numpy(dtype=np.int64, na_value=0)
+                weights = _to_int64(batch.column(1), 0)
             else:
                 weights = np.ones(len(keys), dtype=np.int64)
             state = mg_build_weighted(state, keys, weights)
         if rows == 0:
             return
-        yield _state_to_row(state, pid, rows, time.perf_counter() - start)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "partition_id": pa.array([pid], pa.int64()),
+                "keys": pa.array([state.keys.tolist()], pa.list_(pa.int64())),
+                "counters": pa.array([state.counters.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([state.n], pa.int64()),
+                "d": pa.array([state.d], pa.int64()),
+                "rows": pa.array([rows], pa.int64()),
+                "wall_sec": pa.array([time.perf_counter() - start], pa.float64()),
+            }
+        )
 
-    return projected.mapInPandas(build, PARTIAL_SCHEMA)
+    return projected.mapInArrow(build, PARTIAL_SCHEMA)
 
 
 def _merge_group_fn(k: int):
@@ -223,6 +244,7 @@ def mg_sketch(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     fanout: int = 64,
+    pre_aggregate: bool = False,
 ) -> MGState:
     """End-to-end distributed MG sketch of ``df[key_col]``.
 
@@ -230,8 +252,24 @@ def mg_sketch(
     DP release then happens exactly once, centrally (pmg.py:262-264).
     With ``checkpoint_dir`` set, stage-1 partials are persisted and reused
     on rerun (resumability with lineage+metrics).
+
+    ``pre_aggregate=True`` inserts an exact JVM-side ``groupBy(key).sum``
+    before the sketch: map-side combining means only *distinct* keys per
+    shuffle partition cross the JVM->Python Arrow boundary (the per-pipe
+    boundary throughput, not Python compute, is the hot-path ceiling).
+    Results are identical — exact counts are a valid MG input — but the
+    plan gains a key shuffle, so use it when the key cardinality is far
+    below the row count and fits executor memory; leave it off for
+    unbounded key spaces (the zero-shuffle sketch path is the default).
     """
     spark = df.sparkSession
+    if pre_aggregate:
+        weight_expr = F.count("*") if weight_col is None else F.sum(weight_col)
+        pre = df.groupBy(key_col).agg(weight_expr.cast("long").alias("_w"))
+        return mg_sketch(
+            pre, key_col, k, weight_col="_w",
+            checkpoint_dir=checkpoint_dir, fanout=fanout,
+        )
     if checkpoint_dir is not None:
         import os
 
@@ -298,6 +336,61 @@ def mg_sketch_grouped(
         return out
 
     return partials.groupBy("group").applyInPandas(merge_group, grouped_schema)
+
+
+def max_user_contribution(df: DataFrame, user_col: str) -> int:
+    """Largest number of stream elements any single user contributed.
+
+    The user-level DP releases (pmg.py:301-360) assume a contribution
+    bound ``m``; this computes the actual bound with one
+    combiner-friendly aggregation so callers can validate or derive it
+    (SURVEY.md §1.1 "User" row).
+    """
+    row = df.groupBy(user_col).count().agg(F.max("count").alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def mg_user_level_release(
+    df: DataFrame,
+    user_col: str,
+    token_col: str,
+    k: int,
+    epsilon: float,
+    delta: float = 0.0,
+    universe_size: int | None = None,
+    user_element_count: int | None = None,
+    rng=None,
+) -> dict[int, int]:
+    """End-to-end user-level DP heavy hitters over hashed token keys.
+
+    Validates (or derives) the per-user contribution bound ``m`` with a
+    distributed aggregate, builds the sketch, then applies the scaled-
+    budget release (ops 7/8: eps' = eps/m, delta' = delta/(m e^eps)).
+    Returns the released {key: counter} dict; decode via
+    :func:`decode_keys`.
+    """
+    from mgspark import dp
+
+    m = max_user_contribution(df, user_col)
+    if user_element_count is not None:
+        if m > user_element_count:
+            raise ValueError(
+                f"user contribution bound violated: observed {m} > "
+                f"declared {user_element_count}"
+            )
+        m = user_element_count
+    if m <= 0:
+        return {}
+    encoded = encode_tokens(df, token_col)
+    state = mg_sketch(encoded, "key", k)
+    sketch = state.to_dict()
+    if delta > 0:
+        return dp.privatize_user_level(sketch, epsilon, delta, m, rng=rng)
+    if universe_size is None:
+        raise ValueError("pure DP (delta=0) requires universe_size")
+    return dp.purely_privatize_user_level(
+        sketch, k, epsilon, universe_size, state.n, state.d, m, rng=rng
+    )
 
 
 def mg_topk(

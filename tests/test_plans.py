@@ -32,7 +32,7 @@ def test_stage1_build_has_no_exchange(docs):
     tokens = encode_tokens(content_tokens(docs, "text"), "token")
     plan = _formatted(mg_partials(tokens, "key", 64))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_stage1_scan_prunes_columns(docs):
@@ -60,10 +60,10 @@ def test_full_job_has_single_exchange_of_partials(docs):
     plan = _formatted(merged)
     assert plan.count("Exchange") <= 2  # hashpartition of partials (+AQE read)
     # the Exchange must sit above MapInPandas (partials), not below it
-    map_pos = plan.index("MapInPandas")
+    map_pos = plan.index("MapInArrow")
     exchange_positions = [i for i in range(len(plan)) if plan.startswith("Exchange", i)]
     tree_section = plan[: plan.index("(1) Scan")]
-    assert "Exchange" not in tree_section[tree_section.index("MapInPandas"):]
+    assert "Exchange" not in tree_section[tree_section.index("MapInArrow"):]
 
 
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
