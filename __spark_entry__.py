@@ -180,6 +180,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.pipeline.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = ann_ivf_topk(emb, "embedding", "vec_id", query, k=10, n_centroids=16, n_probe=4)
+    return top.select("id", F.round("cosine", 4).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Sketch-family queries (HLL / CMS / Bloom / t-digest / KLL)
 # ---------------------------------------------------------------------------
@@ -340,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,

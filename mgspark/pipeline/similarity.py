@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["cosine_topk", "lsh_bucket_embeddings", "ann_lsh_topk"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket_embeddings",
+    "ann_lsh_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ann_ivf_topk",
+]
 
 
 def _query_lit(query: Sequence[float]):
@@ -131,6 +138,96 @@ def ann_lsh_topk(
 
     buckets = lsh_bucket_embeddings(df, vec_col, id_col, n_planes, seed)
     candidates = buckets.where(F.col("bucket").isin(sorted(probes))).select("id")
+    pruned = df.join(
+        F.broadcast(candidates.withColumnRenamed("id", id_col)), id_col, "leftsemi"
+    )
+    return cosine_topk(pruned, vec_col, id_col, query, k)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iterations: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train IVF coarse centroids: k-means (Lloyd) on a driver-side sample.
+
+    The sample is tiny and bounded (``sample_size`` rows); training cost
+    is independent of table size.  Deterministic given the seed.  Vectors
+    are L2-normalized so nearest-centroid-by-dot matches cosine order.
+    """
+    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iterations):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c_idx in range(len(centroids)):
+            members = mat[assign == c_idx]
+            if len(members):
+                center = members.mean(axis=0)
+                centroids[c_idx] = center / max(np.linalg.norm(center), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) coarse centroid.
+
+    Vectorized numpy inside mapInPandas; the centroid matrix rides along
+    in the task closure (small — it would be a broadcast variable on a
+    real cluster, identical semantics).  Output: (id, centroid).
+    """
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("centroid", LongType(), False)]
+    )
+    weights = np.ascontiguousarray(centroids.T)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            nearest = (mat @ weights).argmax(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"id": pdf["_id"].to_numpy(dtype=np.int64), "centroid": nearest}
+            )
+
+    projected = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    )
+    return projected.mapInPandas(assign, schema)
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate cosine top-k: score only vectors assigned to the
+    ``n_probe`` centroids nearest the query.
+
+    At scale the assignment is computed once (a materialized index
+    column, e.g. a partition key so probes prune whole partitions); here
+    it is derived inline and the candidate id set joins back with a
+    broadcast semi-join, exactly like the LSH variant.
+    """
+    centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    candidates = assigned.where(F.col("centroid").isin(probes)).select("id")
     pruned = df.join(
         F.broadcast(candidates.withColumnRenamed("id", id_col)), id_col, "leftsemi"
     )

@@ -1,0 +1,151 @@
+"""Sources/sinks for the reference file formats + CLI regression tests
+(drop-in parity pinned against the reference binary)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from mgspark.aggregate import mg_sketch, mg_tree_merge
+from mgspark.kernel import MGState, mg_reference
+from mgspark.sources import (
+    read_checkpoint,
+    read_sketch_jsons,
+    read_stream_file,
+    write_sketch_json,
+)
+
+REPO = "/root/repo"
+
+
+@pytest.fixture()
+def stream_file(tmp_path):
+    data = [4, 3, 3, 2, 1, 2, -1, 3, 4, 4, 4, 5]
+    p = tmp_path / "stream.txt"
+    p.write_text("\n".join(str(x) for x in data) + "\n")
+    return str(p), data
+
+
+def test_read_stream_file_distributed_build(spark, stream_file):
+    path, data = stream_file
+    df = read_stream_file(spark, path)
+    state = mg_sketch(df, "key", 3)
+    # distributed build counts only valid elements
+    assert state.n == len([x for x in data if x >= 0])
+    # bound vs exact counts
+    exact = {}
+    for x in data:
+        if x >= 0:
+            exact[x] = exact.get(x, 0) + 1
+    cap = state.n // 4
+    for key, est in state.to_dict().items():
+        assert exact.get(key, 0) - cap <= est <= exact.get(key, 0)
+
+
+def test_sketch_json_roundtrip_and_merge(spark, tmp_path):
+    a = {1: 10, 2: 20}
+    b = {3: 30, 4: 40}
+    pa_, pb = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    write_sketch_json(a, pa_)
+    write_sketch_json(b, pb)
+    partials = read_sketch_jsons(spark, [pa_, pb], k=3)
+    merged = mg_tree_merge(partials, 3, num_partials=2).collect()[0]
+    got = dict(zip(merged["keys"], merged["counters"]))
+    # golden merge vector (evaluate.py:189-203)
+    assert got == {2: 10, 3: 20, 4: 30}
+
+
+def test_read_checkpoint_requires_success_marker(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_checkpoint(spark, str(tmp_path / "nope"))
+
+
+def _run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "mgspark", *args],
+        capture_output=True, text=True, cwd=cwd,
+        env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin"},
+    )
+
+
+def _run_reference(args, cwd):
+    return subprocess.run(
+        [sys.executable, "/root/reference/pmg.py", *args],
+        capture_output=True, text=True, cwd=cwd,
+    )
+
+
+def test_cli_sketch_mode_parity(stream_file, tmp_path):
+    path, _ = stream_file
+    ours = _run_cli(["3", "1.0", "0.001", path, str(tmp_path / "ours.json")], str(tmp_path))
+    theirs = _run_reference(["3", "1.0", "0.001", path, str(tmp_path / "ref.json")], str(tmp_path))
+    assert ours.returncode == 0 and theirs.returncode == 0
+    # non-private sketch line is deterministic -> byte parity
+    assert ours.stdout.splitlines()[0] == theirs.stdout.splitlines()[0]
+    assert json.loads((tmp_path / "ours.json").read_text()) == json.loads(
+        (tmp_path / "ref.json").read_text()
+    )
+
+
+def test_cli_merge_mode_parity(tmp_path):
+    write_sketch_json({1: 1, 2: 2}, str(tmp_path / "s1.json"))
+    write_sketch_json({3: 3, 4: 4, 5: 5}, str(tmp_path / "s2.json"))
+    write_sketch_json({6: 6}, str(tmp_path / "s3.json"))
+    files = [str(tmp_path / f"s{i}.json") for i in (1, 2, 3)]
+    ours = _run_cli(["merge", "3", "5.0", "0.001", *files], str(tmp_path))
+    theirs = _run_reference(["merge", "3", "5.0", "0.001", *files], str(tmp_path))
+    assert ours.stdout.splitlines()[0] == theirs.stdout.splitlines()[0]
+    assert "Merged        : {4: 1, 5: 2, 6: 5}" in ours.stdout
+
+
+def test_cli_userlevel_mode(stream_file, tmp_path):
+    path, _ = stream_file
+    out = _run_cli(["userlevel", "3", "20.0", "0.001", "2", path], str(tmp_path))
+    assert out.returncode == 0
+    assert out.stdout.startswith("Sketch                   :")
+
+
+def test_cli_usage_on_too_few_args(tmp_path):
+    out = _run_cli(["1", "2"], str(tmp_path))
+    assert out.returncode == 0
+    assert "Usage:" in out.stdout
+
+
+def test_cli_pure_dp_mode(stream_file, tmp_path):
+    path, _ = stream_file
+    out = _run_cli(["3", "1.0", "0", "100", path], str(tmp_path))
+    assert out.returncode == 0
+    lines = out.stdout.splitlines()
+    assert lines[0].startswith("Sketch        :")
+    assert lines[1].startswith("Private sketch:")
+
+
+def test_ann_ivf_topk(spark):
+    import numpy as np
+
+    from mgspark.pipeline.similarity import ann_ivf_topk, cosine_topk
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            v = c + 0.04 * rng.standard_normal(32)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[0][1]
+    exact = {r["id"] for r in cosine_topk(df, "embedding", "vec_id", query, 10).collect()}
+    approx = {
+        r["id"]
+        for r in ann_ivf_topk(
+            df, "embedding", "vec_id", query, 10, n_centroids=10, n_probe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
