@@ -102,6 +102,11 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
     meta["repo_tokens"] = state.n
     meta["repo_tokens_per_sec"] = round(state.n / queries["q_build_merge_repo_tokens"])
 
+    state_pre = timed(
+        "q_build_merge_preagg", lambda: _build_merge_job(spark, repo_dir, True)
+    )
+    meta["preagg_tokens_per_sec"] = round(state_pre.n / queries["q_build_merge_preagg"])
+
     qmap = entrymod.queries()
     for name in [
         "mg_topk_user_id",
@@ -110,6 +115,17 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
         "mg_sketch_doc_tokens_k8",
         "mg_private_topk_event_type",
         "mg_grouped_lang_by_source",
+        "hll_distinct_user_id",
+        "tdigest_price_quantiles",
+        "cms_returnflag",
+        "bloom_orders_custkey",
+        "dedup_exact_count",
+        "minhash_dedup_pairs",
+        "simhash_near_pairs",
+        "cosine_topk",
+        "ann_lsh_topk",
+        "token_stats",
+        "quality_score",
     ]:
         timed(name, lambda n=name: qmap[n](spark, SF_DIR).collect())
     return queries, meta
@@ -259,6 +275,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "throughput_tokens_per_sec": meta["repo_tokens_per_sec"],
+                "preagg_throughput_tokens_per_sec": meta["preagg_tokens_per_sec"],
                 "scaling": scaling,
             }
         )

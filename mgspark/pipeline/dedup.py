@@ -332,6 +332,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
 
@@ -339,6 +340,13 @@ def ngram_jaccard_pairs(
     count intersections -> Jaccard), so it is SQL-oracle-able.  Intended
     for bounded candidate sets or small tables; the LSH path is the scale
     route, this is the exact oracle-side.
+
+    ``max_doc_freq`` drops grams shared by more than that many documents
+    *before* sizes and intersections are computed (a boilerplate gram in
+    D docs contributes D^2 join rows): the result is then exact Jaccard
+    over the non-boilerplate gram universe — the standard stop-gram
+    trade-off.  Leave it None for fully exact semantics (the
+    oracle-checked default).
     """
     grams = (
         df.select(
@@ -356,6 +364,14 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram", "leftsemi")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     g1 = grams.select(F.col("id").alias("id_a"), "gram")
     g2 = grams.select(F.col("id").alias("id_b"), "gram")

@@ -153,10 +153,33 @@ def sketch_tree_merge(
         remaining = -(-remaining // fanout)
 
 
-def sketch_agg(df: DataFrame, col: str, sketch: MergeableSketch, fanout: int = 64) -> Any:
-    """End-to-end: build + tree-merge, return the final state on the driver."""
-    partials = sketch_partials(df, col, sketch)
-    rows = sketch_tree_merge(partials, sketch, fanout).collect()
+def sketch_agg(
+    df: DataFrame,
+    col: str,
+    sketch: MergeableSketch,
+    fanout: int = 64,
+    checkpoint_dir: str | None = None,
+) -> Any:
+    """End-to-end: build + tree-merge, return the final state on the driver.
+
+    ``checkpoint_dir`` persists the stage-1 partial rows (payload +
+    lineage/metrics) to parquet; a rerun resumes from them — same
+    contract as the MG pipeline's checkpointing.
+    """
+    if checkpoint_dir is not None:
+        import os
+
+        spark = df.sparkSession
+        if not os.path.exists(os.path.join(checkpoint_dir, "_SUCCESS")):
+            sketch_partials(df, col, sketch).write.mode("overwrite").parquet(
+                checkpoint_dir
+            )
+        partials = spark.read.parquet(checkpoint_dir)
+        num_partials = partials.count()
+    else:
+        partials = sketch_partials(df, col, sketch)
+        num_partials = None
+    rows = sketch_tree_merge(partials, sketch, fanout, num_partials).collect()
     if not rows:
         return sketch.zero()
     return sketch.deserialize(bytes(rows[0]["payload"]))

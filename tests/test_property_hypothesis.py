@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): merge laws and bound invariants
+over adversarially-generated inputs — stronger evidence than the fixed
+random seeds in test_kernel.py."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mgspark import dp
+from mgspark.kernel import MGState, mg_build_batch, mg_merge, mg_reference
+from mgspark.sketches.bloom import BloomFilter
+from mgspark.sketches.cms import CountMinSketch
+from mgspark.sketches.hll import HLLSketch
+
+streams = st.lists(st.integers(min_value=-3, max_value=30), max_size=200)
+small_k = st.integers(min_value=1, max_value=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(stream=streams, k=small_k)
+def test_sequential_kernel_bound_and_shape(stream, k):
+    sketch, n, d = mg_reference(stream, k)
+    valid = [x for x in stream if x >= 0]
+    assert n == len(valid)
+    cap = n // (k + 1)
+    assert d <= cap
+    assert len(sketch) <= k
+    assert list(sketch) == sorted(sketch)
+    true = {}
+    for x in valid:
+        true[x] = true.get(x, 0) + 1
+    for key, est in sketch.items():
+        assert true.get(key, 0) - cap <= est <= true.get(key, 0)
+    for key, cnt in true.items():
+        if cnt > cap:
+            assert key in sketch
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    parts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=25), max_size=120),
+        min_size=1,
+        max_size=5,
+    ),
+    k=small_k,
+)
+def test_distributed_build_merge_bound_any_partitioning(parts, k):
+    """Any partitioning of a stream into batches + any pairwise merge
+    order keeps the MG bound over the combined stream."""
+    states = [
+        mg_build_batch(MGState(k=k), np.asarray(p, dtype=np.int64)) for p in parts
+    ]
+    acc = states[0]
+    for s in states[1:]:
+        acc = mg_merge(acc, s)
+    full = [x for p in parts for x in p]
+    assert acc.n == len(full)
+    cap = acc.n // (k + 1)
+    assert acc.d <= cap
+    true = {}
+    for x in full:
+        true[x] = true.get(x, 0) + 1
+    for key, est in acc.to_dict().items():
+        assert true.get(key, 0) - cap <= est <= true.get(key, 0)
+    for key, cnt in true.items():
+        if cnt > cap:
+            assert int(key) in set(int(x) for x in acc.keys)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=10**6), max_size=300),
+    b=st.lists(st.integers(min_value=0, max_value=10**6), max_size=300),
+)
+def test_hll_merge_commutes_and_bounds(a, b):
+    sk = HLLSketch(p=10)
+    import pandas as pd
+
+    sa = sk.build(sk.zero(), pd.Series(a, dtype="int64"))
+    sb = sk.build(sk.zero(), pd.Series(b, dtype="int64"))
+    merged = sk.merge(sa, sb)
+    assert np.array_equal(merged, sk.merge(sb, sa))
+    assert np.array_equal(sk.merge(merged, merged), merged)  # idempotent
+    true = len(set(a) | set(b))
+    if true:
+        est = sk.estimate(merged)
+        assert abs(est - true) / true < 0.25  # p=10 -> ~3.3% sigma
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=1000), max_size=300),
+    b=st.lists(st.integers(min_value=0, max_value=1000), max_size=300),
+)
+def test_cms_never_underestimates_after_merge(a, b):
+    import pandas as pd
+
+    sk = CountMinSketch(eps=1e-2, delta=1e-2)
+    merged = sk.merge(
+        sk.build(sk.zero(), pd.Series(a, dtype="int64")),
+        sk.build(sk.zero(), pd.Series(b, dtype="int64")),
+    )
+    full = a + b
+    if full:
+        uniq, counts = np.unique(np.asarray(full, dtype=np.int64), return_counts=True)
+        est = sk.estimate(merged, uniq)
+        assert (est >= counts).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(members=st.lists(st.integers(min_value=0, max_value=10**9), max_size=200))
+def test_bloom_never_false_negative(members):
+    import pandas as pd
+
+    sk = BloomFilter(capacity=1000, fpr=0.01)
+    state = sk.build(sk.zero(), pd.Series(members, dtype="int64"))
+    if members:
+        assert sk.contains(state, np.asarray(members, dtype=np.int64)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    eps=st.floats(min_value=0.05, max_value=8.0),
+    delta=st.floats(min_value=1e-9, max_value=1e-2),
+)
+def test_find_threshold_monotone_properties(eps, delta):
+    t = dp.find_threshold(eps, delta)
+    assert t > 1
+    # more privacy budget (higher eps) can only lower the threshold
+    assert dp.find_threshold(eps * 2, delta) <= t
+    # looser delta can only lower the threshold
+    assert dp.find_threshold(eps, min(delta * 10, 0.05)) <= t

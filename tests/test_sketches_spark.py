@@ -83,3 +83,21 @@ def test_kll_quantiles_value(tables):
     for q, e in zip(qs, est):
         rank = (vals <= e).mean()
         assert abs(rank - q) < 0.04
+
+
+def test_sketch_agg_checkpoint_resume(spark, tables, tmp_path):
+    from mgspark.aggregate import encode_tokens
+    from mgspark.sketches import HLLSketch
+    from mgspark.sketches.base import sketch_agg
+
+    import numpy as np
+    import os
+
+    sk = HLLSketch(p=12)
+    encoded = encode_tokens(tables["events"], "user_id", "_key")
+    ckpt = str(tmp_path / "hll_ckpt")
+    s1 = sketch_agg(encoded, "_key", sk, checkpoint_dir=ckpt)
+    assert os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+    # resume: empty input + existing checkpoint reproduces the state
+    s2 = sketch_agg(encoded.limit(0), "_key", sk, checkpoint_dir=ckpt)
+    assert np.array_equal(s1, s2)
