@@ -61,7 +61,6 @@ def test_full_job_has_single_exchange_of_partials(docs):
     assert plan.count("Exchange") <= 2  # hashpartition of partials (+AQE read)
     # the Exchange must sit above MapInPandas (partials), not below it
     map_pos = plan.index("MapInArrow")
-    exchange_positions = [i for i in range(len(plan)) if plan.startswith("Exchange", i)]
     tree_section = plan[: plan.index("(1) Scan")]
     assert "Exchange" not in tree_section[tree_section.index("MapInArrow"):]
 

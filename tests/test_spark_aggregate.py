@@ -168,3 +168,17 @@ def test_ext_tokens_view(spark, repo_df):
     toks = {r["token"] for r in ext_tokens(repo_df).distinct().collect()}
     assert toks <= {"py", "md", "rs", "js", "ts", "java", "go", "c", "h", "txt", "json", "yml"}
     assert "py" in toks
+
+
+def test_mg_sketch_empty_input(spark):
+    from mgspark.kernel import MGState
+
+    empty = spark.createDataFrame([], "key long")
+    state = mg_sketch(empty, "key", 5)
+    assert state.to_dict() == {} and state.n == 0 and state.d == 0
+
+
+def test_mg_sketch_all_invalid_keys(spark):
+    df = spark.createDataFrame([(-1,), (-7,)], "key long")
+    state = mg_sketch(df, "key", 5)
+    assert state.to_dict() == {} and state.n == 0
