@@ -88,30 +88,36 @@ class MergeableSketch(ABC):
 
 
 def sketch_partials(df: DataFrame, col: str, sketch: MergeableSketch) -> DataFrame:
-    """Stage 1: one serialized partial sketch per non-empty scan partition."""
+    """Stage 1: one serialized partial sketch per non-empty scan partition.
+
+    Raw Arrow record batches feed ``sketch.build`` as pandas Series built
+    from a single Arrow column — no per-batch DataFrame block manager.
+    """
+    import pyarrow as pa
+
     projected = df.select(F.col(col).alias("_v"))
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         start = time.perf_counter()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         state = sketch.zero()
         rows = 0
-        for pdf in batches:
-            rows += len(pdf)
-            state = sketch.build(state, pdf["_v"])
+        for batch in batches:
+            rows += batch.num_rows
+            state = sketch.build(state, batch.column(0).to_pandas())
         if rows == 0:
             return
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
-                "partition_id": [pid],
-                "payload": [sketch.serialize(state)],
-                "rows": [rows],
-                "wall_sec": [time.perf_counter() - start],
+                "partition_id": pa.array([pid], pa.int64()),
+                "payload": pa.array([sketch.serialize(state)], pa.binary()),
+                "rows": pa.array([rows], pa.int64()),
+                "wall_sec": pa.array([time.perf_counter() - start], pa.float64()),
             }
         )
 
-    return projected.mapInPandas(build, SKETCH_PARTIAL_SCHEMA)
+    return projected.mapInArrow(build, SKETCH_PARTIAL_SCHEMA)
 
 
 def sketch_tree_merge(
