@@ -279,13 +279,22 @@ def mg_sketch(
                 checkpoint_dir
             )
         partials = spark.read.parquet(checkpoint_dir)
-        num_partials = partials.count()  # cheap: O(k)-sized checkpoint rows
+        # Round planning needs an upper bound on max(partition_id)+1, not
+        # the row count: empty stage-1 partitions emit no row, so
+        # checkpointed ids can be sparse and count() would under-plan the
+        # rounds, leaving multiple final rows.
+        max_pid = partials.agg(F.max("partition_id").alias("m")).first()["m"]
+        num_partials = (int(max_pid) + 1) if max_pid is not None else 0
     else:
         partials = mg_partials(df, key_col, k, weight_col)
         num_partials = None
     final_rows = mg_tree_merge(partials, k, fanout, num_partials=num_partials).collect()
     if not final_rows:
         return MGState(k=k)
+    if len(final_rows) != 1:
+        raise AssertionError(
+            f"tree merge left {len(final_rows)} rows; round planning bug"
+        )
     return _row_to_state(final_rows[0].asDict(), k)
 
 
@@ -304,8 +313,14 @@ def mg_sketch_grouped(
     sub-sketches per group in a second, tiny aggregation.  Output: one row
     per group with the merged sketch arrays.
     """
+    # Salt deterministically from row content: a nondeterministic per-row
+    # expression (e.g. monotonically_increasing_id) feeding a shuffle can
+    # re-salt rows on task retry, duplicating/losing them.  Hashing the key
+    # with a distinct seed term spreads any group whose keys vary; rows
+    # with identical (group, key) collapsing to one bucket is harmless —
+    # MG counts them identically wherever they land.
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(F.col(key_col), F.lit("mg_salt")), F.lit(salt_buckets))
     )
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -364,10 +379,15 @@ def mg_user_level_release(
     """End-to-end user-level DP heavy hitters over hashed token keys.
 
     Validates (or derives) the per-user contribution bound ``m`` with a
-    distributed aggregate, builds the sketch, then applies the scaled-
-    budget release (ops 7/8: eps' = eps/m, delta' = delta/(m e^eps)).
-    Returns the released {key: counter} dict; decode via
-    :func:`decode_keys`.
+    distributed aggregate, builds the sketch with the distributed merge
+    pipeline, then releases with the *merged* user-level mechanisms:
+    group-privacy scaling (eps' = eps/m, delta' = delta/(m e^eps),
+    pmg.py:301-360) composed with the sensitivity-``k`` merged release
+    (pmg.py:249-298).  The element-level user-level mechanisms
+    (sensitivity 1/2) only apply to sequentially built sketches — using
+    them here would under-noise; the CLI's ``userlevel`` mode keeps them
+    because it builds with the sequential kernel.  Returns the released
+    {key: counter} dict; decode via :func:`decode_keys`.
     """
     from mgspark import dp
 
@@ -385,11 +405,11 @@ def mg_user_level_release(
     state = mg_sketch(encoded, "key", k)
     sketch = state.to_dict()
     if delta > 0:
-        return dp.privatize_user_level(sketch, epsilon, delta, m, rng=rng)
+        return dp.privatize_user_level_merged(sketch, k, epsilon, delta, m, rng=rng)
     if universe_size is None:
         raise ValueError("pure DP (delta=0) requires universe_size")
-    return dp.purely_privatize_user_level(
-        sketch, k, epsilon, universe_size, state.n, state.d, m, rng=rng
+    return dp.purely_privatize_user_level_merged(
+        sketch, k, epsilon, universe_size, m, rng=rng
     )
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "purely_privatize_merged",
     "privatize_user_level",
     "purely_privatize_user_level",
+    "privatize_user_level_merged",
+    "purely_privatize_user_level_merged",
 ]
 
 
@@ -294,6 +296,47 @@ def purely_privatize_merged(
         offset_counters=False,
         rng=rng,
     )
+
+
+def privatize_user_level_merged(
+    merged: dict[int, int],
+    sketch_size: int,
+    epsilon: float,
+    delta: float,
+    user_element_count: int,
+    rng: np.random.Generator | None = None,
+) -> dict[int, int]:
+    """User-level approx-DP release of a *merged* sketch.
+
+    The reference's user-level mechanisms (pmg.py:301-360) assume a
+    sequentially built sketch (element sensitivity 1); a merged sketch
+    (pmg.py:249-272) has element sensitivity ``sketch_size`` because one
+    element can shift every counter through the merge offset.  Composing
+    the same group-privacy scaling (eps' = eps/m, delta' = delta/(m e^eps),
+    valid since m*e^((m-1)eps') <= m*e^eps) with the merged-sketch
+    mechanism gives a user-level guarantee for distributed builds.
+    """
+    scaled_epsilon = epsilon / user_element_count
+    scaled_delta = delta / (user_element_count * math.exp(epsilon))
+    return privatize_merged(merged, sketch_size, scaled_epsilon, scaled_delta, rng=rng)
+
+
+def purely_privatize_user_level_merged(
+    merged: dict[int, int],
+    sketch_size: int,
+    epsilon: float,
+    universe_size: int,
+    user_element_count: int,
+    rng: np.random.Generator | None = None,
+) -> dict[int, int]:
+    """User-level pure-DP release of a *merged* sketch.
+
+    Group privacy for pure DP composes exactly (eps' = eps/m); the base
+    mechanism is the sensitivity-``sketch_size`` merged release
+    (pmg.py:275-298, no counter offset).
+    """
+    scaled_epsilon = epsilon / user_element_count
+    return purely_privatize_merged(merged, sketch_size, scaled_epsilon, universe_size, rng=rng)
 
 
 def privatize_user_level(

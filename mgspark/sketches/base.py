@@ -181,11 +181,17 @@ def sketch_agg(
                 checkpoint_dir
             )
         partials = spark.read.parquet(checkpoint_dir)
-        num_partials = partials.count()
+        # Upper bound on max(partition_id)+1, not a row count: checkpointed
+        # ids can be sparse (empty partitions emit no row) and count()
+        # would under-plan the merge rounds.
+        max_pid = partials.agg(F.max("partition_id").alias("m")).first()["m"]
+        num_partials = (int(max_pid) + 1) if max_pid is not None else 0
     else:
         partials = sketch_partials(df, col, sketch)
         num_partials = None
     rows = sketch_tree_merge(partials, sketch, fanout, num_partials).collect()
     if not rows:
         return sketch.zero()
+    if len(rows) != 1:
+        raise AssertionError(f"tree merge left {len(rows)} rows; round planning bug")
     return sketch.deserialize(bytes(rows[0]["payload"]))

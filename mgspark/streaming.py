@@ -65,9 +65,13 @@ def mg_streaming_sketch(
     Emits one updated (shard, keys, counters, n, d) row per shard per
     micro-batch (output mode: update).  State per shard is O(k).
     """
-    sharded = stream_df.select(F.col(key_col).cast("long").alias("key")).withColumn(
-        "shard", F.pmod(F.col("key"), F.lit(num_shards))
-    )
+    # Coalesce null keys to -1 before sharding: pmod(null) yields a null
+    # shard group whose key tuple would fail int() inside the state
+    # function; -1 routes them to a real shard where mg_build_weighted
+    # drops them as invalid, matching the batch path's skip semantics.
+    sharded = stream_df.select(
+        F.coalesce(F.col(key_col).cast("long"), F.lit(-1)).alias("key")
+    ).withColumn("shard", F.pmod(F.col("key"), F.lit(num_shards)))
 
     def update(
         shard_key: Tuple,

@@ -139,6 +139,37 @@ def test_user_level_scaling_matches_direct_call():
     assert out == expected
 
 
+def test_user_level_merged_composes_group_privacy_with_merged_release():
+    """Distributed (merged) sketches must release with sensitivity k, not
+    the element-level mechanisms (ADVICE r01): user-level merged ==
+    merged release at eps/m, delta/(m e^eps)."""
+    merged = {0: 900, 1: 500, 2: 300}
+    k, m, eps, delta = 3, 4, 12.0, 1e-3
+    out = dp.privatize_user_level_merged(merged, k, eps, delta, m, rng=rng())
+    expected = dp.privatize_merged(
+        merged, k, eps / m, delta / (m * math.exp(eps)), rng=rng()
+    )
+    assert out == expected
+
+    pure_out = dp.purely_privatize_user_level_merged(
+        merged, k, eps, universe_size=1000, user_element_count=m, rng=rng()
+    )
+    pure_expected = dp.purely_privatize_merged(
+        merged, k, eps / m, universe_size=1000, rng=rng()
+    )
+    assert pure_out == pure_expected
+
+
+def test_user_level_merged_threshold_stricter_than_element_level():
+    """The merged mechanism's threshold (sensitivity k, k unique keys) is
+    strictly larger than the element-level one — the under-noising the
+    old path had."""
+    k, m, eps, delta = 8, 4, 12.0, 1e-3
+    element = dp.find_threshold(eps / m, delta / (m * math.exp(eps)), 1)
+    merged = dp.find_threshold(eps / m, delta / (m * math.exp(eps)), k, k)
+    assert merged > element
+
+
 @pytest.mark.parametrize("mechanism", ["approx", "pure"])
 def test_dp_distribution_ratio(reference_pmg, mechanism):
     """Reduced-rep stochastic DP check (evaluate.py:663-881 style).

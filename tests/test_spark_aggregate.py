@@ -95,6 +95,38 @@ def test_checkpoint_resume(spark, docs, tmp_path):
     assert (s1.n, s1.d) == (s2.n, s2.d)
 
 
+def test_checkpoint_resume_sparse_partition_ids(spark, tmp_path):
+    """Checkpointed partial rows can have sparse partition ids (empty
+    stage-1 partitions emit no row).  Round planning must bound rounds by
+    max(partition_id)+1, not the row count, or the tree merge ends with
+    multiple rows and drops partials (ADVICE r01)."""
+    from mgspark.aggregate import PARTIAL_SCHEMA
+
+    ckpt = str(tmp_path / "sparse_ckpt")
+    rows = [
+        (pid, [pid * 10 + 1, pid * 10 + 2], [5, 3], 8, 0, 8, 0.0)
+        for pid in (0, 5, 13)  # sparse: count=3 but ids span 14 slots
+    ]
+    spark.createDataFrame(rows, PARTIAL_SCHEMA).write.mode("overwrite").parquet(ckpt)
+    empty = spark.createDataFrame([], "key long")
+    state = mg_sketch(empty, "key", k=16, checkpoint_dir=ckpt, fanout=2)
+    # All three partials must have merged into one state.
+    assert state.n == 24
+    assert sorted(state.keys.tolist()) == [1, 2, 51, 52, 131, 132]
+
+
+def test_grouped_sketch_salt_deterministic(spark, repo_df):
+    """The salt must be a deterministic function of row content so task
+    retries cannot re-salt rows (nondeterminism-with-shuffle hazard)."""
+    df = repo_df.select(
+        "lang", F.explode(F.split(F.col("content"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    df = encode_tokens(df, "token")
+    a = {r["group"]: (r["keys"], r["counters"]) for r in mg_sketch_grouped(df, "lang", "key", 8, salt_buckets=4).collect()}
+    b = {r["group"]: (r["keys"], r["counters"]) for r in mg_sketch_grouped(df, "lang", "key", 8, salt_buckets=4).collect()}
+    assert a == b
+
+
 def test_grouped_sketch_salted(spark, repo_df):
     k = 12
     encoded = encode_tokens(content_tokens(repo_df.select("lang", "content")), "token")
