@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -56,11 +57,14 @@ __all__ = [
 ]
 
 # One row per stage-1 task: the partial sketch plus lineage/metrics.
+# ``tokens`` (nullable) carries one exemplar token string per surviving
+# key so the release can decode keys without re-scanning the input.
 PARTIAL_SCHEMA = StructType(
     [
         StructField("partition_id", LongType(), False),
         StructField("keys", ArrayType(LongType(), False), False),
         StructField("counters", ArrayType(LongType(), False), False),
+        StructField("tokens", ArrayType(StringType(), True), True),
         StructField("n", LongType(), False),
         StructField("d", LongType(), False),
         StructField("rows", LongType(), False),
@@ -73,12 +77,19 @@ PARTIAL_SCHEMA = StructType(
 _HASH_MASK = (1 << 62) - 1
 
 
-def _state_to_row(state: MGState, partition_id: int, rows: int, wall: float) -> pd.DataFrame:
+def _state_to_row(
+    state: MGState,
+    partition_id: int,
+    rows: int,
+    wall: float,
+    tokens: list[str] | None = None,
+) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "partition_id": [partition_id],
             "keys": [state.keys.tolist()],
             "counters": [state.counters.tolist()],
+            "tokens": [tokens],
             "n": [state.n],
             "d": [state.d],
             "rows": [rows],
@@ -133,11 +144,49 @@ def decode_keys(tokens_df: DataFrame, col: str, keys: list[int], key_col: str = 
     return {int(row[key_col]): row["_token"] for row in pairs}
 
 
+def _update_exemplars(
+    exemplars: dict[int, str],
+    state_keys: np.ndarray,
+    batch_keys: np.ndarray,
+    batch_tokens,
+) -> dict[int, str]:
+    """Record one exemplar token per surviving key, from this batch.
+
+    A key is in ``state_keys`` only if it appeared in a batch folded since
+    it last (re-)entered the state, so every key missing an exemplar has
+    an occurrence in the current batch.  Prune to the surviving keys so
+    the dict stays O(k).
+    """
+    exemplars = {key: exemplars[key] for key in map(int, state_keys) if key in exemplars}
+    missing = np.asarray(
+        [key for key in state_keys.tolist() if key not in exemplars], dtype=np.int64
+    )
+    if len(missing):
+        mask = np.isin(batch_keys, missing)
+        hit_idx = np.flatnonzero(mask)
+        if len(hit_idx):
+            # First occurrence per missing key, vectorized on the masked
+            # subset; only <= k entries reach the Python loop.
+            sub_keys = batch_keys[hit_idx]
+            uniq, first = np.unique(sub_keys, return_index=True)
+            for key, sub_i in zip(uniq.tolist(), first.tolist()):
+                value = batch_tokens[int(hit_idx[sub_i])]
+                value = value.as_py() if hasattr(value, "as_py") else value
+                if value is not None:
+                    exemplars[int(key)] = str(value)
+    return exemplars
+
+
+def _aligned_tokens(exemplars: dict[int, str], state_keys: np.ndarray) -> list[str | None]:
+    return [exemplars.get(int(key)) for key in state_keys]
+
+
 def mg_partials(
     df: DataFrame,
     key_col: str,
     k: int,
     weight_col: str | None = None,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Stage 1: per-partition MG build, no shuffle.
 
@@ -146,13 +195,22 @@ def mg_partials(
     and emits exactly one partial-sketch row per non-empty task.  Arrow
     columns go straight to numpy — no pandas block-manager construction
     in the hot path (~40% of per-task time in profiling).
+
+    With ``token_col`` set, each partial also carries one exemplar token
+    string per surviving key, so the release decodes keys without a
+    second scan of the input.  Token strings then cross the Arrow
+    boundary, so prefer this on pre-aggregated (distinct-key) inputs —
+    the combiner path — where the extra bytes are O(distinct), not O(rows).
     """
     import pyarrow as pa
 
     cols = [F.col(key_col).cast("long").alias("key")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("weight"))
+    if token_col is not None:
+        cols.append(F.col(token_col).cast("string").alias("token"))
     projected = df.select(*cols)
+    token_idx = 2 if weight_col is not None else 1
 
     def _to_int64(column, fill: int) -> np.ndarray:
         if column.null_count:
@@ -166,6 +224,7 @@ def mg_partials(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         state = MGState(k=k)
+        exemplars: dict[int, str] = {}
         rows = 0
         for batch in batches:
             rows += batch.num_rows
@@ -175,13 +234,19 @@ def mg_partials(
             else:
                 weights = np.ones(len(keys), dtype=np.int64)
             state = mg_build_weighted(state, keys, weights)
+            if token_col is not None:
+                exemplars = _update_exemplars(
+                    exemplars, state.keys, keys, batch.column(token_idx)
+                )
         if rows == 0:
             return
+        tokens = _aligned_tokens(exemplars, state.keys) if token_col is not None else None
         yield pa.RecordBatch.from_pydict(
             {
                 "partition_id": pa.array([pid], pa.int64()),
                 "keys": pa.array([state.keys.tolist()], pa.list_(pa.int64())),
                 "counters": pa.array([state.counters.tolist()], pa.list_(pa.int64())),
+                "tokens": pa.array([tokens], pa.list_(pa.string())),
                 "n": pa.array([state.n], pa.int64()),
                 "d": pa.array([state.d], pa.int64()),
                 "rows": pa.array([rows], pa.int64()),
@@ -200,12 +265,23 @@ def _merge_group_fn(k: int):
         bucket = int(pdf["_bucket"].iloc[0])
         pdf = pdf.sort_values("partition_id")
         state = MGState(k=k)
+        exemplars: dict[int, str] = {}
+        have_tokens = False
         rows = 0
         for row in pdf.itertuples(index=False):
-            state = mg_merge(state, _row_to_state(row._asdict(), k))
+            fields = row._asdict()
+            state = mg_merge(state, _row_to_state(fields, k))
             rows += int(row.rows)
+            tokens = fields.get("tokens")
+            # Missing array cells can surface as NaN through pandas.
+            if tokens is not None and not isinstance(tokens, float):
+                have_tokens = True
+                for key, token in zip(fields["keys"], tokens):
+                    if token is not None:
+                        exemplars.setdefault(int(key), str(token))
+        tokens_out = _aligned_tokens(exemplars, state.keys) if have_tokens else None
         # The bucket id becomes the (dense) partition id of the next round.
-        return _state_to_row(state, bucket, rows, time.perf_counter() - start)
+        return _state_to_row(state, bucket, rows, time.perf_counter() - start, tokens_out)
 
     return merge_group
 
@@ -237,6 +313,67 @@ def mg_tree_merge(
         remaining = -(-remaining // fanout)
 
 
+def _mg_sketch_core(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    weight_col: str | None,
+    token_col: str | None,
+    checkpoint_dir: str | None,
+    fanout: int,
+) -> tuple[MGState, dict[int, str]]:
+    """Build + tree-merge; returns (final state, exemplar token map)."""
+    spark = df.sparkSession
+    if checkpoint_dir is not None:
+        import os
+
+        done_marker = os.path.join(checkpoint_dir, "_SUCCESS")
+        if not os.path.exists(done_marker):
+            mg_partials(df, key_col, k, weight_col, token_col).write.mode(
+                "overwrite"
+            ).parquet(checkpoint_dir)
+        partials = spark.read.parquet(checkpoint_dir)
+        # Round planning needs an upper bound on max(partition_id)+1, not
+        # the row count: empty stage-1 partitions emit no row, so
+        # checkpointed ids can be sparse and count() would under-plan the
+        # rounds, leaving multiple final rows.
+        max_pid = partials.agg(F.max("partition_id").alias("m")).first()["m"]
+        num_partials = (int(max_pid) + 1) if max_pid is not None else 0
+    else:
+        partials = mg_partials(df, key_col, k, weight_col, token_col)
+        num_partials = None
+    final_rows = mg_tree_merge(partials, k, fanout, num_partials=num_partials).collect()
+    if not final_rows:
+        return MGState(k=k), {}
+    if len(final_rows) != 1:
+        raise AssertionError(
+            f"tree merge left {len(final_rows)} rows; round planning bug"
+        )
+    final = final_rows[0].asDict()
+    state = _row_to_state(final, k)
+    tokens = final.get("tokens")
+    exemplars = (
+        {int(key): token for key, token in zip(final["keys"], tokens) if token is not None}
+        if tokens is not None
+        else {}
+    )
+    return state, exemplars
+
+
+def _combiner_probe(df: DataFrame, key_col: str) -> bool:
+    """One JVM-only scan (count + approx_count_distinct, no Python
+    boundary) deciding whether the exact combiner beats the zero-shuffle
+    sketch.  Combiner shuffle bytes are O(distinct) and JVM shuffle is
+    ~10x cheaper per row than the Arrow pipe, so prefer it whenever
+    distinct/rows <= 0.5."""
+    probe = df.agg(
+        F.count(key_col).alias("rows"),
+        F.approx_count_distinct(key_col).alias("distinct"),
+    ).first()
+    rows_n = int(probe["rows"] or 0)
+    return rows_n == 0 or int(probe["distinct"]) <= rows_n * 0.5
+
+
 def mg_sketch(
     df: DataFrame,
     key_col: str,
@@ -244,7 +381,7 @@ def mg_sketch(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     fanout: int = 64,
-    pre_aggregate: bool = False,
+    pre_aggregate: bool | str = "auto",
 ) -> MGState:
     """End-to-end distributed MG sketch of ``df[key_col]``.
 
@@ -258,44 +395,29 @@ def mg_sketch(
     shuffle partition cross the JVM->Python Arrow boundary (the per-pipe
     boundary throughput, not Python compute, is the hot-path ceiling).
     Results are identical — exact counts are a valid MG input — but the
-    plan gains a key shuffle, so use it when the key cardinality is far
-    below the row count and fits executor memory; leave it off for
-    unbounded key spaces (the zero-shuffle sketch path is the default).
+    plan gains a key shuffle, so it wins when key cardinality is well
+    below the row count; ``False`` keeps the zero-shuffle sketch path for
+    unbounded key spaces.  The default ``"auto"`` picks per input with a
+    cheap JVM-only cardinality probe (:func:`_combiner_probe`) — the fast
+    plan must never be opt-in.
     """
-    spark = df.sparkSession
+    if pre_aggregate == "auto":
+        import os
+
+        if checkpoint_dir is not None and os.path.exists(
+            os.path.join(checkpoint_dir, "_SUCCESS")
+        ):
+            pre_aggregate = False  # resuming from partials; no probe needed
+        else:
+            pre_aggregate = _combiner_probe(df, key_col)
     if pre_aggregate:
         weight_expr = F.count("*") if weight_col is None else F.sum(weight_col)
         pre = df.groupBy(key_col).agg(weight_expr.cast("long").alias("_w"))
-        return mg_sketch(
-            pre, key_col, k, weight_col="_w",
-            checkpoint_dir=checkpoint_dir, fanout=fanout,
-        )
-    if checkpoint_dir is not None:
-        import os
-
-        done_marker = os.path.join(checkpoint_dir, "_SUCCESS")
-        if not os.path.exists(done_marker):
-            mg_partials(df, key_col, k, weight_col).write.mode("overwrite").parquet(
-                checkpoint_dir
-            )
-        partials = spark.read.parquet(checkpoint_dir)
-        # Round planning needs an upper bound on max(partition_id)+1, not
-        # the row count: empty stage-1 partitions emit no row, so
-        # checkpointed ids can be sparse and count() would under-plan the
-        # rounds, leaving multiple final rows.
-        max_pid = partials.agg(F.max("partition_id").alias("m")).first()["m"]
-        num_partials = (int(max_pid) + 1) if max_pid is not None else 0
-    else:
-        partials = mg_partials(df, key_col, k, weight_col)
-        num_partials = None
-    final_rows = mg_tree_merge(partials, k, fanout, num_partials=num_partials).collect()
-    if not final_rows:
-        return MGState(k=k)
-    if len(final_rows) != 1:
-        raise AssertionError(
-            f"tree merge left {len(final_rows)} rows; round planning bug"
-        )
-    return _row_to_state(final_rows[0].asDict(), k)
+        df, weight_col = pre, "_w"
+    state, _ = _mg_sketch_core(
+        df, key_col, k, weight_col, None, checkpoint_dir, fanout
+    )
+    return state
 
 
 def mg_sketch_grouped(
@@ -418,20 +540,52 @@ def mg_topk(
     token_col: str,
     k: int,
     checkpoint_dir: str | None = None,
+    pre_aggregate: bool | str = "auto",
 ) -> DataFrame:
     """Heavy-hitter estimates for a token column, decoded back to tokens.
 
-    Builds the distributed sketch over hashed keys, then decodes the <= k
-    surviving keys via a broadcast semi-join.  Returns a DataFrame
-    ``(token string, est long)`` sorted by estimate descending, token
-    ascending.  When the column's true cardinality is <= k the estimates
-    are exact (no decrement can fire), which is what the DuckDB oracle
-    checks at small scale.
+    Returns a DataFrame ``(token string, est long)`` sorted by estimate
+    descending, token ascending.  When the column's true cardinality is
+    <= k the estimates are exact (no decrement can fire), which is what
+    the DuckDB oracle checks at small scale.
+
+    Plan selection (``pre_aggregate``):
+
+    * ``True`` — combiner path: exact JVM ``groupBy(token).count`` first
+      (map-side combine), then sketch the distinct (token, count) rows.
+      Only distinct keys cross the Arrow boundary and token exemplars
+      ride along in the partial rows, so the whole query is **one scan**
+      of the input with no decode re-scan.  Right whenever distinct
+      tokens ≪ rows — the typical heavy-hitter workload.
+    * ``False`` — zero-shuffle path: sketch the raw stream (no shuffle at
+      all), then decode the <= k survivors with a JVM-only re-scan.  Right
+      for unbounded key spaces where a groupBy state would be as large as
+      the data.
+    * ``"auto"`` (default) — one cheap JVM-only probe
+      (``count`` + ``approx_count_distinct``, no Python boundary) picks
+      the combiner path when distinct/rows <= 0.5; ties go to combiner
+      because JVM shuffle bytes are ~10x cheaper than Arrow-pipe bytes.
     """
     spark = df.sparkSession
-    encoded = encode_tokens(df, token_col)
-    state = mg_sketch(encoded, "key", k, checkpoint_dir=checkpoint_dir)
-    mapping = decode_keys(df, token_col, state.keys.tolist())
+    if pre_aggregate == "auto":
+        probe = df.agg(
+            F.count(token_col).alias("rows"),
+            F.approx_count_distinct(token_col).alias("distinct"),
+        ).first()
+        rows_n = int(probe["rows"] or 0)
+        pre_aggregate = rows_n == 0 or int(probe["distinct"]) <= rows_n * 0.5
+    if pre_aggregate:
+        pre = df.groupBy(token_col).agg(F.count("*").cast("long").alias("_w"))
+        encoded = encode_tokens(pre, token_col)
+        state, mapping = _mg_sketch_core(
+            encoded, "key", k, "_w", token_col, checkpoint_dir, 64
+        )
+    else:
+        encoded = encode_tokens(df, token_col)
+        state = mg_sketch(
+            encoded, "key", k, checkpoint_dir=checkpoint_dir, pre_aggregate=False
+        )
+        mapping = decode_keys(df, token_col, state.keys.tolist())
     rows = [
         (mapping.get(int(key), str(int(key))), int(cnt))
         for key, cnt in zip(state.keys, state.counters)

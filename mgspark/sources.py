@@ -55,7 +55,7 @@ def read_sketch_jsons(spark: SparkSession, paths: list[str], k: int) -> DataFram
             sketch = {int(key): counter for key, counter in json.load(f).items()}
         state = MGState.from_dict(sketch, k)
         rows.append(
-            (i, state.keys.tolist(), state.counters.tolist(), 0, 0, len(sketch), 0.0)
+            (i, state.keys.tolist(), state.counters.tolist(), None, 0, 0, len(sketch), 0.0)
         )
     return spark.createDataFrame(rows, PARTIAL_SCHEMA)
 

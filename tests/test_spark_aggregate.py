@@ -104,7 +104,7 @@ def test_checkpoint_resume_sparse_partition_ids(spark, tmp_path):
 
     ckpt = str(tmp_path / "sparse_ckpt")
     rows = [
-        (pid, [pid * 10 + 1, pid * 10 + 2], [5, 3], 8, 0, 8, 0.0)
+        (pid, [pid * 10 + 1, pid * 10 + 2], [5, 3], None, 8, 0, 8, 0.0)
         for pid in (0, 5, 13)  # sparse: count=3 but ids span 14 slots
     ]
     spark.createDataFrame(rows, PARTIAL_SCHEMA).write.mode("overwrite").parquet(ckpt)
@@ -152,6 +152,46 @@ def test_grouped_sketch_salted(spark, repo_df):
         for key, est in zip(row["keys"], row["counters"]):
             true = exact.get((lang, int(key)), 0)
             assert true - cap <= est <= true
+
+
+def test_mg_topk_combiner_decodes_from_exemplars_without_rescan(spark, docs, monkeypatch):
+    """The combiner path must decode keys from exemplars carried in the
+    partial rows — no decode_keys re-scan of the input (VERDICT r01 #3)."""
+    import mgspark.aggregate as agg
+
+    def _boom(*args, **kwargs):
+        raise AssertionError("combiner path must not re-scan via decode_keys")
+
+    monkeypatch.setattr(agg, "decode_keys", _boom)
+    tokens = content_tokens(docs, "text")
+    got = {r["token"]: r["est"] for r in agg.mg_topk(tokens, "token", 10, pre_aggregate=True).collect()}
+    # cardinality > k here, so only check: tokens are real strings (decoded),
+    # and every estimate is within the MG bound of the true count.
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tokens.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    cap = n // 11
+    assert got, "sketch must release at least one key"
+    for token, est in got.items():
+        assert token in exact, f"exemplar {token!r} is not a real token"
+        assert exact[token] - cap <= est <= exact[token]
+
+
+def test_mg_topk_paths_agree_at_low_cardinality(spark, docs):
+    """combiner / zero-shuffle / auto all produce the exact GROUP BY
+    answer when cardinality <= k."""
+    from mgspark.aggregate import mg_topk
+
+    langs = docs.select(F.col("lang").alias("token"))
+    expected = {
+        r["token"]: r["cnt"]
+        for r in langs.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    for mode in (True, False, "auto"):
+        got = {r["token"]: r["est"] for r in mg_topk(langs, "token", 64, pre_aggregate=mode).collect()}
+        assert got == expected, f"pre_aggregate={mode}"
 
 
 def test_encode_decode_roundtrip(spark, docs):
