@@ -146,7 +146,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, num_bands: int = 32, max_bucket: int = 64
+    sig_df: DataFrame, num_bands: int = 32, max_bucket: int = 64,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from banded signatures.
 
@@ -155,11 +156,17 @@ def lsh_candidate_pairs(
     larger than ``max_bucket`` are dropped (degenerate content — e.g.
     boilerplate — would otherwise go quadratic); the cap is logged by the
     caller.  One exchange on (band, bucket_hash).
+
+    Pass ``sig_len`` (the signature length, i.e. ``num_hashes``) when
+    known: probing it with ``first()`` costs an extra job over the whole
+    signature computation.
     """
-    sig_len_row = sig_df.select(F.size("sig").alias("s")).first()
-    if sig_len_row is None:
-        return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
-    rows_per_band = max(1, sig_len_row["s"] // num_bands)
+    if sig_len is None:
+        sig_len_row = sig_df.select(F.size("sig").alias("s")).first()
+        if sig_len_row is None:
+            return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        sig_len = sig_len_row["s"]
+    rows_per_band = max(1, sig_len // num_bands)
 
     bands = sig_df.select(
         "id",
@@ -202,23 +209,59 @@ def lsh_candidate_pairs(
     return buckets.mapInPandas(pairs, pair_schema).distinct()
 
 
+def pick_num_bands(num_hashes: int, threshold: float) -> int:
+    """Bands/rows split matched to the query threshold.
+
+    The banding S-curve crosses ~(1/b)^(1/r) with b bands of r rows; a
+    split whose crossover sits far below the query threshold floods the
+    verifier with sub-threshold candidates (e.g. r=4, b=32 has crossover
+    0.42 — near-random text collides).  Pick the longest band (largest r)
+    whose crossover stays within ~2% above the threshold: candidates are
+    verified exactly afterwards (precision is unaffected), and recall
+    only softens for pairs sitting exactly at the threshold, while the
+    candidate count drops by orders of magnitude.
+    """
+    best_bands = num_hashes  # r=1 fallback: crossover 1/num_hashes
+    r = 1
+    while r * 2 <= num_hashes:
+        r *= 2
+        b = num_hashes // r
+        if b < 2 or (1.0 / b) ** (1.0 / r) > threshold + 0.02:
+            break
+        best_bands = b
+    return best_bands
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 128,
-    num_bands: int = 32,
+    num_bands: int | None = None,
     shingle_size: int = 5,
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold.
 
     Full LSH pipeline: signatures -> band buckets -> candidate pairs ->
     signature-agreement verification (est_jaccard = mean(sig_a == sig_b)).
-    Output: (id_a, id_b, est_jaccard double).
+    Output: (id_a, id_b, est_jaccard double).  ``num_bands`` defaults to
+    :func:`pick_num_bands` (threshold-matched S-curve); pass it explicitly
+    to trade recall margin against candidate volume.
+
+    The signature DataFrame feeds three consumers (banding + both sides
+    of the verification join), so it is persisted — the shingling pass is
+    the dominant cost and must run once, not three times.  At 100 TB the
+    persisted signatures are num_hashes*8 bytes/doc, orders of magnitude
+    smaller than the text.
     """
+    from pyspark import StorageLevel
+
+    if num_bands is None:
+        num_bands = pick_num_bands(num_hashes, threshold)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    candidates = lsh_candidate_pairs(sigs, num_bands)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = lsh_candidate_pairs(sigs, num_bands, sig_len=num_hashes)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -282,10 +325,22 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming (<= 3 guaranteed
-    found: with 4 16-bit chunks, pigeonhole forces one identical chunk).
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Recall guarantee: with 4 16-bit chunks, pigeonhole forces one
+    identical chunk for any pair at hamming <= 3 — so recall is complete
+    for ``max_hamming <= 3`` (up to the bucket cap).  For larger
+    ``max_hamming`` the chunk index is a best-effort candidate filter:
+    pairs differing in all four chunks are missed.
+
+    Candidate generation groups by (chunk, chunk_value) and emits pairs
+    only inside buckets of size <= ``max_bucket`` — a chunk value shared
+    by many documents (boilerplate) would otherwise make the old
+    self-join quadratic.  Oversized buckets are dropped, like the MinHash
+    path; byte-identical boilerplate belongs to :func:`dedup_exact`.
 
     Output: (id_a, id_b, hamming int).
     """
@@ -305,23 +360,36 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.ck")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+
+    buckets = (
+        chunks.groupBy("chunk", "ck")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
+
+    pair_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("sh_a", LongType(), False),
+            StructField("sh_b", LongType(), False),
+        ]
+    )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b, sh_a, sh_b = [], [], [], []
+            for members in pdf["members"]:
+                uniq = sorted({(int(m["id"]), int(m["simhash"])) for m in members})
+                for i in range(len(uniq)):
+                    for j in range(i + 1, len(uniq)):
+                        out_a.append(uniq[i][0])
+                        out_b.append(uniq[j][0])
+                        sh_a.append(uniq[i][1])
+                        sh_b.append(uniq[j][1])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sh_a": sh_a, "sh_b": sh_b})
+
+    cand = buckets.mapInPandas(pairs, pair_schema).distinct()
     hamming = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     return hamming.where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 

@@ -117,6 +117,34 @@ def test_simhash_near_pairs(spark, dup_fixture):
         assert r["hamming"] <= 3
 
 
+def test_simhash_boilerplate_bucket_capped(spark):
+    """1k documents sharing identical simhash chunks must not trigger a
+    quadratic candidate join: the oversized bucket is dropped (VERDICT
+    r01 #2), so the query completes and emits no pairs for the
+    boilerplate cluster beyond the cap."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(1000)]
+    # plus one genuine near-dup pair in a small bucket
+    rows += [(5000, "unique document alpha beta gamma delta"),
+             (5001, "unique document alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=3, max_bucket=64).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (5000, 5001) in found
+    # boilerplate cluster (1000 identical docs -> 499500 pairs) dropped by cap
+    assert not any(a < 1000 and b < 1000 for a, b in found)
+
+
+def test_minhash_signatures_computed_once(spark, docs):
+    """minhash_dedup_pairs persists the signature stage: the plan of the
+    verification join must reference InMemoryRelation (VERDICT r01 #1),
+    not recompute the shingling mapInPandas three times."""
+    out = minhash_dedup_pairs(docs.limit(100), "text", "doc_id", threshold=0.5)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
 def test_ngram_jaccard_exact(spark, dup_fixture):
     df, exact_pairs, _ = dup_fixture
     small_ids = {a for a, _ in exact_pairs} | {b for _, b in exact_pairs}
