@@ -59,6 +59,108 @@ def q_mg_sketch_doc_tokens_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_topk(_doc_tokens(spark, sf_dir), "token", 8)
 
 
+def q_mg_sketch_bound_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable *invariant* of the true-sketching path (k=8 <
+    vocab): every released estimate must satisfy the deterministic MG
+    bound ``true - floor(N/(k+1)) <= est <= true`` (pmg.py:26-98) and at
+    most k keys are released.  The Spark side computes the exact counts
+    distributedly and counts violations; the oracle pins total_tokens
+    (DuckDB recomputes it) and zero violations."""
+    from mgspark.aggregate import mg_topk
+
+    k = 8
+    tokens = _doc_tokens(spark, sf_dir)
+    est = mg_topk(tokens, "token", k)
+    exact = tokens.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    joined = est.join(exact, "token", "left")
+    total = tokens.count()
+    cap = total // (k + 1)
+    agg = joined.agg(
+        F.coalesce(F.sum((F.col("est") > F.col("true_cnt")).cast("long")), F.lit(0)).alias(
+            "over_violations"
+        ),
+        F.coalesce(
+            F.sum((F.col("true_cnt") - F.col("est") > F.lit(cap)).cast("long")), F.lit(0)
+        ).alias("under_violations"),
+        (F.count("*") <= k).cast("long").alias("released_le_k"),
+    )
+    return agg.withColumn("total_tokens", F.lit(total).cast("long"))
+
+
+def q_hll_vs_exact_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL is hash-deterministic, so its error vs the exact distinct count
+    is a fixed fact: emit the exact count (computed distributedly in
+    Spark, recomputed by DuckDB) plus a within-2.5%-bound flag."""
+    from mgspark.sketches import hll_distinct
+
+    events = _read(spark, sf_dir, "events")
+    est = float(hll_distinct(events, "user_id"))
+    true = events.select("user_id").distinct().count()
+    ok = 1 if abs(est - true) <= 0.025 * true else 0
+    return spark.createDataFrame(
+        [(int(true), ok)], "true_distinct long, within_bound long"
+    )
+
+
+def q_quantile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest and KLL rank-error invariants: for each target quantile q
+    the exact rank of the estimated quantile (computed distributedly)
+    must sit within q +/- 0.05.  The oracle pins the row count (recomputed
+    by DuckDB) and the in-bound flags."""
+    from mgspark.sketches import kll_quantiles, tdigest_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    events = _read(spark, sf_dir, "events")
+    qs = [0.1, 0.5, 0.9]
+    td = tdigest_quantiles(li, "l_extendedprice", qs)
+    kll = kll_quantiles(events, "value", qs)
+    n_li = li.count()
+    n_ev = events.count()
+    rows = []
+    for q, est in zip(qs, td):
+        rank = li.where(F.col("l_extendedprice") <= float(est)).count() / n_li
+        rows.append(("tdigest", q, int(abs(rank - q) <= 0.05)))
+    for q, est in zip(qs, kll):
+        rank = events.where(F.col("value") <= float(est)).count() / n_ev
+        rows.append(("kll", q, int(abs(rank - q) <= 0.05)))
+    out = spark.createDataFrame(rows, "sketch string, q double, within_bound long")
+    return out.withColumn(
+        "n_rows",
+        F.when(F.col("sketch") == "tdigest", F.lit(n_li)).otherwise(F.lit(n_ev)).cast("long"),
+    )
+
+
+def q_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end equivalence invariant for the ANN machinery: with
+    exhaustive probing (all LSH buckets / all IVF centroids probed) the
+    bucketed pipelines must reproduce the exact cosine top-10 id set —
+    any bug in bucketing, assignment, candidate join, or scoring breaks
+    it.  Pruned-probe *recall* is a property of data clusteredness and is
+    asserted on clustered fixtures in pytest instead (the sf tables'
+    embeddings are near-random)."""
+    from mgspark.pipeline.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r["id"] for r in cosine_topk(emb, "embedding", "vec_id", query, 10).collect()}
+    # n_planes=2, multiprobe=2 -> all 4 buckets probed (exhaustive)
+    lsh = {
+        r["id"]
+        for r in ann_lsh_topk(
+            emb, "embedding", "vec_id", query, 10, n_planes=2, multiprobe=2
+        ).collect()
+    }
+    # n_probe = n_centroids -> exhaustive
+    ivf = {
+        r["id"]
+        for r in ann_ivf_topk(
+            emb, "embedding", "vec_id", query, 10, n_centroids=16, n_probe=16
+        ).collect()
+    }
+    rows = [("lsh", int(lsh == exact)), ("ivf", int(ivf == exact))]
+    return spark.createDataFrame(rows, "method string, matches_exact long")
+
+
 def q_mg_grouped_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language sketches via the salted groupBy path, exploded to
     rows.  k=10 >= 5 distinct langs, so estimates are exact."""
@@ -148,6 +250,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB equivalent of the stopword/CJK heuristic — lang_id is pure
+    column expressions, so the oracle replicates it list-function by
+    list-function (same stopword lists, same argmax tie-break)."""
+    from mgspark.pipeline.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    lists = {
+        lang: "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+        for lang in langs
+    }
+    scores = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lists[lang]}, x))) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs[:-1])
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks, "
+        "greatest(length(coalesce(text, '')), 1) AS n_chars, "
+        "length(regexp_replace(coalesce(text, ''), '[^一-鿿]', '', 'g')) AS cjk "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, toks, n_chars, cjk, {scores} FROM base) "
+        "SELECT doc_id AS id, "
+        "CASE WHEN cjk * 1.0 / n_chars > 0.05 THEN 'zh' "
+        f"WHEN len(toks) = 0 OR {best} = 0 THEN 'und' "
+        f"{whens} ELSE '{langs[-1]}' END AS lang_pred FROM s"
+    )
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.dedup import simhash_near_pairs
 
@@ -187,6 +320,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.where(F.col("vec_id") == 0).first()["embedding"]
     top = ann_ivf_topk(emb, "embedding", "vec_id", query, k=10, n_centroids=16, n_probe=4)
     return top.select("id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal queries (MGB1 binary asset columns)
+# ---------------------------------------------------------------------------
+
+# Deterministic MGB1 asset fixture, written Spark-free at import time so
+# the DuckDB oracle (which reads the same parquet by absolute path) works
+# regardless of query/oracle execution order.
+_ASSETS_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "assets.parquet"
+)
+
+
+def _ensure_assets_fixture() -> str:
+    from mgspark.pipeline.multimodal import write_assets_parquet
+
+    return write_assets_parquet(_ASSETS_PARQUET)
+
+
+_ensure_assets_fixture()
+
+# DuckDB-side MGB1 header parse: kind byte at offset 5, little-endian
+# uint16 width/height at 6/8, little-endian uint32 duration at 10 —
+# reconstructed from the hex dump (mirrors multimodal.extract_asset_meta).
+_ASSET_PARSE_CTE = f"""
+WITH parsed AS (
+  SELECT asset_id,
+    CAST(('0x' || substr(hex(payload), 9, 2)) AS INTEGER) AS kind_idx,
+    CAST(('0x' || substr(hex(payload), 13, 2) || substr(hex(payload), 11, 2)) AS BIGINT) AS width,
+    CAST(('0x' || substr(hex(payload), 17, 2) || substr(hex(payload), 15, 2)) AS BIGINT) AS height,
+    CAST(('0x' || substr(hex(payload), 25, 2) || substr(hex(payload), 23, 2)
+          || substr(hex(payload), 21, 2) || substr(hex(payload), 19, 2)) AS BIGINT) AS duration_ms,
+    CAST(octet_length(payload) - 13 AS BIGINT) AS payload_bytes
+  FROM read_parquet('{_ASSETS_PARQUET}')
+)
+"""
+
+
+def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGB1 header parse over the binary asset table
+    (multimodal.extract_asset_meta); deterministic, DuckDB-oracled."""
+    from mgspark.pipeline.multimodal import extract_asset_meta
+
+    assets = spark.read.parquet(_ASSETS_PARQUET)
+    return extract_asset_meta(assets)
+
+
+def q_asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-timestamp sampling for video assets
+    (multimodal.sample_frames); deterministic, DuckDB-oracled."""
+    from mgspark.pipeline.multimodal import sample_frames
+
+    assets = spark.read.parquet(_ASSETS_PARQUET)
+    return sample_frames(assets, every_ms=1000)
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # multimodal (binary asset columns)
+        "asset_meta": q_asset_meta,
+        "asset_frame_samples": q_asset_frame_samples,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,
@@ -360,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_user_level_event_type": q_mg_user_level_event_type,
         "mg_pure_dp_doc_lang": q_mg_pure_dp_doc_lang,
         "mg_topk_weighted": q_mg_topk_weighted,
+        # oracle-checked invariants of the approximate operators
+        "mg_sketch_bound_doc_tokens": q_mg_sketch_bound_doc_tokens,
+        "hll_vs_exact_user_id": q_hll_vs_exact_user_id,
+        "quantile_rank_bounds": q_quantile_rank_bounds,
+        "ann_recall_vs_exact": q_ann_recall_vs_exact,
     }
 
 
@@ -379,6 +575,18 @@ def oracle_sql() -> dict[str, str]:
         "mg_grouped_lang_by_source": (
             "SELECT source, lang AS token, COUNT(*) AS est "
             "FROM documents GROUP BY source, lang"
+        ),
+        "asset_meta": (
+            _ASSET_PARSE_CTE
+            + "SELECT asset_id, "
+            "CASE kind_idx WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "width, height, duration_ms, payload_bytes FROM parsed"
+        ),
+        "asset_frame_samples": (
+            _ASSET_PARSE_CTE
+            + "SELECT asset_id, "
+            "CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS BIGINT) AS frame_ts "
+            "FROM parsed WHERE kind_idx = 2 AND duration_ms > 0"
         ),
         "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
         "exact_dup_groups_source": (
@@ -422,6 +630,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        "lang_id": _lang_id_oracle(),
+        "mg_sketch_bound_doc_tokens": (
+            "SELECT 0::BIGINT AS over_violations, 0::BIGINT AS under_violations, "
+            "1::BIGINT AS released_le_k, "
+            "(SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE tok <> '')::BIGINT AS total_tokens"
+        ),
+        "hll_vs_exact_user_id": (
+            "SELECT COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "
+            "1::BIGINT AS within_bound FROM events"
+        ),
+        "quantile_rank_bounds": (
+            "WITH targets AS (SELECT unnest(['tdigest', 'kll']) AS sketch, "
+            "unnest([0.0, 0.0]) AS _z), qs AS (SELECT unnest([0.1, 0.5, 0.9]) AS q) "
+            "SELECT sketch, q, 1::BIGINT AS within_bound, "
+            "(CASE WHEN sketch = 'tdigest' THEN (SELECT COUNT(*) FROM lineitem) "
+            "ELSE (SELECT COUNT(*) FROM events) END)::BIGINT AS n_rows "
+            "FROM targets, qs"
+        ),
+        "ann_recall_vs_exact": (
+            "SELECT unnest(['lsh', 'ivf']) AS method, 1::BIGINT AS matches_exact"
         ),
         "cosine_topk": (
             "SELECT vec_id AS id, ROUND(list_cosine_similarity("

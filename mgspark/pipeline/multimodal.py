@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "synth_assets",
+    "write_assets_parquet",
     "extract_asset_meta",
     "byte_histogram_features",
     "decode_image",
@@ -41,7 +42,8 @@ __all__ = [
 _MAGIC = b"MGB1"
 _KINDS = ("image", "audio", "video")
 
-def synth_assets(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
+
+def _gen_asset_rows(n: int, seed: int) -> list[tuple[int, str, bytes]]:
     """Deterministic fake binary assets in the MGB1 container format.
 
     Header: 4-byte magic, 1-byte kind, uint16 width, uint16 height,
@@ -59,8 +61,43 @@ def synth_assets(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame
         n_payload = (width * height) % 4096
         payload = rng.integers(0, 256, size=n_payload, dtype=np.uint8).tobytes()
         blob = _MAGIC + struct.pack("<BHHI", kind_idx, width, height, duration) + payload
-        rows.append((i, _KINDS[kind_idx], bytearray(blob)))
+        rows.append((i, _KINDS[kind_idx], blob))
+    return rows
+
+
+def synth_assets(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
+    """MGB1 asset table as a Spark DataFrame (see :func:`_gen_asset_rows`)."""
+    rows = [(i, kind, bytearray(blob)) for i, kind, blob in _gen_asset_rows(n, seed)]
     return spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+
+
+def write_assets_parquet(path: str, n: int = 256, seed: int = 42) -> str:
+    """Persist the deterministic MGB1 asset table as one parquet file.
+
+    Spark-free (pyarrow) so it can run at import time; idempotent
+    (same seed -> same bytes) and atomic (write temp + rename) so a
+    concurrent oracle-side reader never sees a partial file.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = _gen_asset_rows(n, seed)
+    table = pa.table(
+        {
+            "asset_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 _META_SCHEMA = StructType(

@@ -25,6 +25,8 @@ __all__ = [
     "ann_lsh_topk",
     "ivf_centroids",
     "ivf_assign",
+    "IVFIndex",
+    "ivf_build",
     "ann_ivf_topk",
 ]
 
@@ -157,8 +159,19 @@ def ivf_centroids(
     The sample is tiny and bounded (``sample_size`` rows); training cost
     is independent of table size.  Deterministic given the seed.  Vectors
     are L2-normalized so nearest-centroid-by-dot matches cosine order.
+
+    Sampling takes the ``sample_size`` smallest rows by a hash of the
+    vector: hash order is uniform over the table (unlike ``limit()``,
+    which returns whatever rows the first scanned partitions hold —
+    first-rows bias), deterministic, and runs as per-partition TakeOrdered
+    with no full shuffle.
     """
-    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    sample_rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+        .limit(sample_size)
+        .collect()
+    )
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -204,6 +217,85 @@ def ivf_assign(
     return projected.mapInPandas(assign, schema)
 
 
+class IVFIndex:
+    """Build-once IVF index: centroids + a materialized (id, vec,
+    centroid) table; many queries amortize one indexing pass.
+
+    ``indexed`` holds the vectors *with* their coarse assignment so a
+    query is a single pruned scan of the index — no join back to the base
+    table.  In memory it is a persisted DataFrame; with ``index_dir`` it
+    is parquet partitioned by ``centroid``, so probe filters prune whole
+    partitions at the source (the 100 TB layout: each query reads
+    n_probe/n_centroids of the index).
+    """
+
+    def __init__(self, centroids: np.ndarray, indexed: DataFrame):
+        self.centroids = centroids
+        self.indexed = indexed
+
+    def probes(self, query: Sequence[float], n_probe: int) -> list[int]:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        return np.argsort(-(self.centroids @ q))[:n_probe].tolist()
+
+    def topk(self, query: Sequence[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Approximate cosine top-k from the materialized index only."""
+        cand = self.indexed.where(F.col("centroid").isin(self.probes(query, n_probe)))
+        return cosine_topk(cand, "vec", "id", query, k)
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iterations: int = 8,
+    seed: int = 42,
+    index_dir: str | None = None,
+) -> IVFIndex:
+    """One indexing pass: train centroids on an unbiased sample, assign
+    every vector once, materialize (id, vec, centroid).
+
+    With ``index_dir`` the index is written as parquet partitioned by
+    centroid (and reused if already present); otherwise it is persisted
+    in memory/disk cache.  Queries then run against the index alone.
+    """
+    spark = df.sparkSession
+    if index_dir is not None:
+        import json
+        import os
+
+        meta_path = os.path.join(index_dir, "_centroids.json")
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf8") as f:
+                centroids = np.asarray(json.load(f), dtype=np.float64)
+            return IVFIndex(centroids, spark.read.parquet(os.path.join(index_dir, "data")))
+
+    centroids = ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, sample_size=sample_size,
+        iterations=iterations, seed=seed,
+    )
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    indexed = vecs.join(assigned, "id")
+    if index_dir is not None:
+        indexed.write.mode("overwrite").partitionBy("centroid").parquet(
+            os.path.join(index_dir, "data")
+        )
+        with open(meta_path, "w", encoding="utf8") as f:
+            json.dump(centroids.tolist(), f)
+        indexed = spark.read.parquet(os.path.join(index_dir, "data"))
+    else:
+        from pyspark import StorageLevel
+
+        indexed = indexed.persist(StorageLevel.MEMORY_AND_DISK)
+    return IVFIndex(centroids, indexed)
+
+
 def ann_ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -213,22 +305,33 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: score only vectors assigned to the
     ``n_probe`` centroids nearest the query.
 
-    At scale the assignment is computed once (a materialized index
-    column, e.g. a partition key so probes prune whole partitions); here
-    it is derived inline and the candidate id set joins back with a
-    broadcast semi-join, exactly like the LSH variant.
+    Pass a prebuilt ``index`` (:func:`ivf_build`) to amortize the
+    indexing pass across queries — the reference-class usage; without one
+    this builds a session-cached index keyed by the input plan, so
+    repeated calls on the same DataFrame still index once.
     """
-    centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
-    q = np.asarray(query, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
-    assigned = ivf_assign(df, vec_col, id_col, centroids)
-    candidates = assigned.where(F.col("centroid").isin(probes)).select("id")
-    pruned = df.join(
-        F.broadcast(candidates.withColumnRenamed("id", id_col)), id_col, "leftsemi"
+    if index is None:
+        index = _ivf_index_cache_get(df, vec_col, id_col, n_centroids, seed)
+    return index.topk(query, k, n_probe)
+
+
+# Session-level index cache: (logical plan digest, params) -> IVFIndex.
+_IVF_CACHE: dict[tuple, IVFIndex] = {}
+
+
+def _ivf_index_cache_get(
+    df: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
+) -> IVFIndex:
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df._jdf.queryExecution().logical().semanticHash(),
+        vec_col, id_col, n_centroids, seed,
     )
-    return cosine_topk(pruned, vec_col, id_col, query, k)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = ivf_build(df, vec_col, id_col, n_centroids=n_centroids, seed=seed)
+    return _IVF_CACHE[key]

@@ -73,50 +73,38 @@ _STOPWORDS = {
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: (id, lang_pred).
 
-    Scores = fraction of tokens in each language's stopword list; CJK
-    detection via the Unicode block ratio; argmax with 'und' fallback
-    when no evidence.  Vectorized pandas inside mapInPandas.
+    Scores = count of tokens in each language's stopword list (argmax
+    over counts equals argmax over fractions — shared denominator); CJK
+    detection via the Unicode block ratio; 'und' fallback when no
+    evidence.  Pure JVM column expressions (whole-stage codegen, no
+    Python in the scan) — and therefore SQL-oracle-able.
     """
-    schema = StructType(
-        [
-            StructField("id", LongType(), False),
-            StructField("lang_pred", StringType(), False),
-        ]
-    )
     langs = sorted(_STOPWORDS)
-
-    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            texts = pdf["_text"].fillna("")
-            # CJK ratio via vectorized regex count
-            cjk = texts.str.count(r"[一-鿿]")
-            n_chars = texts.str.len().clip(lower=1)
-            token_lists = texts.str.lower().str.split()
-            preds = []
-            for toks, cjk_n, nc in zip(token_lists, cjk, n_chars):
-                if cjk_n / nc > 0.05:
-                    preds.append("zh")
-                    continue
-                toks = toks or []
-                if not toks:
-                    preds.append("und")
-                    continue
-                scores = [
-                    sum(1 for t in toks if t in _STOPWORDS[lang]) / len(toks)
-                    for lang in langs
-                ]
-                best = int(np.argmax(scores))
-                preds.append(langs[best] if scores[best] > 0 else "und")
-            yield pd.DataFrame(
-                {"id": pdf["_id"].to_numpy(dtype=np.int64), "lang_pred": preds}
-            )
-
-    projected = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
     )
-    return projected.mapInPandas(classify, schema)
+    n_chars = F.greatest(F.length(F.coalesce(F.col(text_col), F.lit(""))), F.lit(1))
+    cjk_ratio = F.regexp_count(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit("[一-鿿]")
+    ) / n_chars
+
+    score_cols = {}
+    for lang in langs:
+        words = F.array(*[F.lit(w) for w in sorted(_STOPWORDS[lang])])
+        score_cols[lang] = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+    best = F.greatest(*[score_cols[lang] for lang in langs])
+
+    pred = F.when(cjk_ratio > 0.05, F.lit("zh")).when(
+        (F.size(toks) == 0) | (best == 0), F.lit("und")
+    )
+    # First max in sorted lang order — same tie-break as np.argmax.
+    for lang in langs:
+        pred = pred.when(score_cols[lang] == best, F.lit(lang))
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), pred.alias("lang_pred")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

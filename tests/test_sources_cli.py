@@ -149,3 +149,57 @@ def test_ann_ivf_topk(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_ivf_build_once_reused_across_queries(spark, monkeypatch):
+    """ann_ivf_topk must not retrain centroids / reassign vectors per
+    query (VERDICT r01 #5): the session cache reuses one IVFIndex for the
+    same input, and explicit ivf_build indexes support many queries."""
+    import numpy as np
+
+    import mgspark.pipeline.similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((200, 16)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    calls = {"n": 0}
+    real_centroids = sim.ivf_centroids
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real_centroids(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "ivf_centroids", counting)
+    sim._IVF_CACHE.clear()
+    for qi in (0, 1, 2):
+        sim.ann_ivf_topk(df, "embedding", "vec_id", rows[qi][1], 5, n_centroids=8).collect()
+    assert calls["n"] == 1, f"centroids trained {calls['n']} times for 3 queries"
+
+
+def test_ivf_index_dir_roundtrip(spark, tmp_path):
+    """index_dir persists the partitioned index + centroids; a rebuild
+    from disk answers queries without touching the base table."""
+    import numpy as np
+
+    from mgspark.pipeline.similarity import cosine_topk, ivf_build
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((300, 16)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(df, "embedding", "vec_id", n_centroids=8, index_dir=idx_dir)
+    # reopen from disk; base table deliberately not passed
+    reopened = ivf_build(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        "embedding", "vec_id", n_centroids=8, index_dir=idx_dir,
+    )
+    got = {r["id"] for r in reopened.topk(rows[0][1], k=5, n_probe=8).collect()}
+    exact = {r["id"] for r in cosine_topk(df, "embedding", "vec_id", rows[0][1], 5).collect()}
+    assert got == exact  # n_probe = n_centroids -> exhaustive, must match exact
