@@ -323,6 +323,104 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming queries (file stream over the events table)
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _run_stream_to_memory(out, prefix: str, mode: str):
+    """Run a bounded stream (availableNow) into a memory sink; return the
+    sink table DataFrame.  Unique sink name per call — the driver may run
+    a query more than once in a session."""
+    _STREAM_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def q_streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: file stream over events ->
+    watermark -> tumbling 1h window counts -> memory sink (complete mode
+    so unclosed windows emit on the bounded run).  Exact counts ->
+    DuckDB-oracled with date_trunc."""
+    from mgspark.streaming import windowed_token_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The table is a single file; file streams take a directory, so
+    # stream the sf dir with a glob pinned to this table.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Parquet reads ts as TIMESTAMP_NTZ; watermarks require TIMESTAMP
+    # (session tz is pinned UTC, so the cast is value-preserving).
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_token_counts(stream, "ts", "event_type", window="1 hour", watermark="2 hours")
+    name = _run_stream_to_memory(out, "win_counts", "complete")
+    return spark.table(name).select(
+        F.col("window_start"), F.col("token"), F.col("cnt").alias("cnt")
+    )
+
+
+def q_streaming_mg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming MG (applyInPandasWithState, sharded O(k) state)
+    over the events stream; shard sketches merged driver-side and decoded.
+    event_type cardinality <= k, so the release is exact -> GROUP BY
+    oracle."""
+    import numpy as np
+
+    from mgspark.aggregate import decode_keys, encode_tokens
+    from mgspark.kernel import MGState, mg_merge
+    from mgspark.streaming import mg_streaming_sketch
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    encoded = encode_tokens(stream.select(F.col("event_type").alias("token")), "token")
+    out = mg_streaming_sketch(encoded, "key", k=10, num_shards=4)
+    name = _run_stream_to_memory(out, "mg_stream", "update")
+    rows = spark.table(name).collect()
+    # update mode can emit several updates per shard across micro-batches;
+    # the final state per shard is the one with the largest n.
+    latest: dict[int, MGState] = {}
+    for r in rows:
+        state = MGState(
+            k=10,
+            keys=np.asarray(r["keys"], dtype=np.int64),
+            counters=np.asarray(r["counters"], dtype=np.int64),
+            n=int(r["n"]),
+            d=int(r["d"]),
+        )
+        if r["shard"] not in latest or state.n > latest[r["shard"]].n:
+            latest[r["shard"]] = state
+    merged = MGState(k=10)
+    for shard in sorted(latest):
+        merged = mg_merge(merged, latest[shard])
+    mapping = decode_keys(
+        static.select(F.col("event_type").alias("token")), "token", merged.keys.tolist()
+    )
+    out_rows = [
+        (mapping.get(int(key), str(int(key))), int(cnt))
+        for key, cnt in zip(merged.keys, merged.counters)
+    ]
+    return spark.createDataFrame(out_rows, "token string, est long")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal queries (MGB1 binary asset columns)
 # ---------------------------------------------------------------------------
 
@@ -556,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vs_exact_user_id": q_hll_vs_exact_user_id,
         "quantile_rank_bounds": q_quantile_rank_bounds,
         "ann_recall_vs_exact": q_ann_recall_vs_exact,
+        # structured streaming (bounded availableNow runs)
+        "streaming_windowed_event_counts": q_streaming_windowed_event_counts,
+        "streaming_mg_event_type": q_streaming_mg_event_type,
     }
 
 
@@ -653,6 +754,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_vs_exact": (
             "SELECT unnest(['lsh', 'ivf']) AS method, 1::BIGINT AS matches_exact"
         ),
+        "streaming_windowed_event_counts": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "event_type AS token, COUNT(*)::BIGINT AS cnt "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_mg_event_type": _mg_topk_oracle("events", "event_type"),
         "cosine_topk": (
             "SELECT vec_id AS id, ROUND(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "

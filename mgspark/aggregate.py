@@ -360,16 +360,32 @@ def _mg_sketch_core(
     return state, exemplars
 
 
+_PROBE_ROWS = 200_000
+
+
 def _combiner_probe(df: DataFrame, key_col: str) -> bool:
-    """One JVM-only scan (count + approx_count_distinct, no Python
-    boundary) deciding whether the exact combiner beats the zero-shuffle
-    sketch.  Combiner shuffle bytes are O(distinct) and JVM shuffle is
-    ~10x cheaper per row than the Arrow pipe, so prefer it whenever
-    distinct/rows <= 0.5."""
-    probe = df.agg(
-        F.count(key_col).alias("rows"),
-        F.approx_count_distinct(key_col).alias("distinct"),
-    ).first()
+    """Constant-cost JVM-only probe deciding whether the exact combiner
+    beats the zero-shuffle sketch.
+
+    Measures the distinct/rows ratio on a bounded prefix (first
+    ``_PROBE_ROWS`` rows — one input split's worth), NOT the full table:
+    the decision actually depends on the *per-partition* ratio, because
+    the combiner's win is map-side combining (shuffle bytes ~
+    sum of per-partition distincts, and JVM shuffle is ~10x cheaper per
+    row than the Arrow pipe the zero-shuffle path feeds).  A prefix is a
+    fair estimate of per-partition behavior and keeps the probe O(1) in
+    table size; either mis-choice degrades speed only, never results.
+    Prefer the combiner whenever distinct/rows <= 0.5.
+    """
+    probe = (
+        df.select(key_col)
+        .limit(_PROBE_ROWS)
+        .agg(
+            F.count(key_col).alias("rows"),
+            F.approx_count_distinct(key_col).alias("distinct"),
+        )
+        .first()
+    )
     rows_n = int(probe["rows"] or 0)
     return rows_n == 0 or int(probe["distinct"]) <= rows_n * 0.5
 
@@ -568,12 +584,7 @@ def mg_topk(
     """
     spark = df.sparkSession
     if pre_aggregate == "auto":
-        probe = df.agg(
-            F.count(token_col).alias("rows"),
-            F.approx_count_distinct(token_col).alias("distinct"),
-        ).first()
-        rows_n = int(probe["rows"] or 0)
-        pre_aggregate = rows_n == 0 or int(probe["distinct"]) <= rows_n * 0.5
+        pre_aggregate = _combiner_probe(df, token_col)
     if pre_aggregate:
         pre = df.groupBy(token_col).agg(F.count("*").cast("long").alias("_w"))
         encoded = encode_tokens(pre, token_col)
