@@ -313,6 +313,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact method (the oracle path;
+    the LSH-bucketed scale path is recall-tested in pytest on clustered
+    vectors — these embeddings are near-random, max pairwise cosine
+    ~0.51, so the near-dup threshold is set to 0.3 to exercise a
+    non-trivial result set)."""
+    from mgspark.pipeline.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3, method="exact")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.similarity import ann_ivf_topk
 
@@ -636,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         # multimodal (binary asset columns)
         "asset_meta": q_asset_meta,
         "asset_frame_samples": q_asset_frame_samples,
@@ -765,6 +778,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4)"
             " AS cosine FROM embeddings ORDER BY cosine DESC, id ASC LIMIT 10"
+        ),
+        "embedding_near_dup_pairs": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.3"
         ),
         "bloom_orders_custkey": "SELECT COUNT(DISTINCT o_custkey) AS members FROM orders",
         "cms_returnflag": (

@@ -28,6 +28,7 @@ __all__ = [
     "IVFIndex",
     "ivf_build",
     "ann_ivf_topk",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -318,6 +319,88 @@ def ann_ivf_topk(
     if index is None:
         index = _ivf_index_cache_get(df, vec_col, id_col, n_centroids, seed)
     return index.topk(query, k, n_probe)
+
+
+def _pairwise_cosine(pairs: DataFrame) -> DataFrame:
+    """Adds ``cosine`` for (vec_a, vec_b) columns, JVM higher-order fns."""
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_a = F.sqrt(F.aggregate(F.transform("vec_a", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    norm_b = F.sqrt(F.aggregate(F.transform("vec_b", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return pairs.withColumn("cosine", dot / (norm_a * norm_b))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    ``method="exact"`` scores every pair with JVM higher-order functions —
+    the SQL-oracle-able path, quadratic by definition, for bounded inputs
+    or verification.  ``method="lsh"`` is the scale path: ``n_tables``
+    independent sign-LSH tables (different seeds) bucket the vectors;
+    candidate pairs come only from same-bucket groups capped at
+    ``max_bucket`` (boilerplate embeddings cannot go quadratic), then the
+    exact cosine verifies each candidate.  Near-identical vectors agree
+    on all hyperplane signs with high probability per table; tables union
+    recall.
+    """
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if method == "exact":
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        vecs.count()  # materialize before the multi-table fan-out
+        cand = None
+        for table in range(n_tables):
+            buckets = lsh_bucket_embeddings(vecs, "vec", "id", n_planes, seed + 1000 * table)
+            grouped = (
+                buckets.groupBy("bucket")
+                .agg(F.collect_list("id").alias("ids"))
+                .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+            )
+            tbl = grouped.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                "ids",
+                                lambda x: F.transform(
+                                    "ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                                ),
+                            )
+                        ),
+                        lambda s: s["id_a"] < s["id_b"],
+                    )
+                ).alias("p")
+            ).select("p.id_a", "p.id_b")
+            cand = tbl if cand is None else cand.unionByName(tbl)
+        candidates = cand.distinct()
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    scored = _pairwise_cosine(pairs)
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
 
 
 # Session-level index cache: (logical plan digest, params) -> IVFIndex.

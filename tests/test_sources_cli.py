@@ -180,6 +180,60 @@ def test_ivf_build_once_reused_across_queries(spark, monkeypatch):
     assert calls["n"] == 1, f"centroids trained {calls['n']} times for 3 queries"
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH-bucketed embedding near-dup must find planted near-identical
+    vectors (cosine >= 0.98) and agree with the exact method on them."""
+    import numpy as np
+
+    from mgspark.pipeline.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((100, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for i in range(20):  # near-identical copy of vector i
+        v = base[i] + 0.01 * rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, [float(x) for x in v]))
+        planted.append((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.98, method="lsh"
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.98, method="exact"
+        ).collect()
+    }
+    assert lsh <= exact  # verification keeps precision exact
+    found = sum(1 for p in planted if p in lsh)
+    assert found >= 18, f"LSH near-dup recall {found}/20"
+
+
+def test_embedding_near_dup_boilerplate_capped(spark):
+    """Identical embeddings repeated 500x must not go quadratic: the
+    oversized bucket is dropped by max_bucket."""
+    import numpy as np
+
+    from mgspark.pipeline.similarity import embedding_near_dup_pairs
+
+    v = (np.arange(16) / 16.0).tolist()
+    rows = [(i, v) for i in range(500)]
+    # planted pair far from the boilerplate cluster (different buckets)
+    w = [1.0 if i % 2 == 0 else -1.0 for i in range(16)]
+    rows += [(9000, w), (9001, list(w))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99, method="lsh")
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (9000, 9001) in found
+    assert not any(a < 500 and b < 500 for a, b in found)
+
+
 def test_ivf_index_dir_roundtrip(spark, tmp_path):
     """index_dir persists the partitioned index + centroids; a rebuild
     from disk answers queries without touching the base table."""

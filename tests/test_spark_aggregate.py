@@ -115,6 +115,29 @@ def test_checkpoint_resume_sparse_partition_ids(spark, tmp_path):
     assert sorted(state.keys.tolist()) == [1, 2, 51, 52, 131, 132]
 
 
+def test_mg_topk_exemplars_survive_checkpoint(spark, docs, tmp_path, monkeypatch):
+    """Exemplar tokens ride the parquet checkpoint: a resumed combiner-path
+    mg_topk decodes from the checkpointed partials with no input re-scan."""
+    import mgspark.aggregate as agg
+
+    ckpt = str(tmp_path / "tok_ckpt")
+    langs = docs.select(F.col("lang").alias("token"))
+    first = {r["token"]: r["est"] for r in agg.mg_topk(langs, "token", 64, checkpoint_dir=ckpt, pre_aggregate=True).collect()}
+
+    def _boom(*args, **kwargs):
+        raise AssertionError("resume must decode from checkpointed exemplars")
+
+    monkeypatch.setattr(agg, "decode_keys", _boom)
+    resumed = {
+        r["token"]: r["est"]
+        for r in agg.mg_topk(
+            langs.limit(0), "token", 64, checkpoint_dir=ckpt, pre_aggregate=True
+        ).collect()
+    }
+    assert resumed == first
+    assert all(not t.isdigit() for t in resumed), "tokens must be decoded strings"
+
+
 def test_grouped_sketch_salt_deterministic(spark, repo_df):
     """The salt must be a deterministic function of row content so task
     retries cannot re-salt rows (nondeterminism-with-shuffle hazard)."""
