@@ -162,25 +162,15 @@ def q_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mg_grouped_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source language sketches via the salted groupBy path, exploded to
-    rows.  k=10 >= 5 distinct langs, so estimates are exact."""
-    from mgspark.aggregate import decode_keys, encode_tokens, mg_sketch_grouped
+    """Per-source language sketches via the salted groupBy path with
+    exemplar decode (single scan).  k=10 >= 5 distinct langs, so
+    estimates are exact."""
+    from mgspark.aggregate import mg_topk_grouped
 
     docs = _read(spark, sf_dir, "documents")
-    df = encode_tokens(docs.select("source", F.col("lang").alias("token")), "token")
-    grouped = mg_sketch_grouped(df, "source", "key", k=10, salt_buckets=4)
-    exploded = grouped.select(
-        F.col("group").alias("source"),
-        F.explode(F.arrays_zip("keys", "counters")).alias("kv"),
-    ).select("source", F.col("kv.keys").alias("key"), F.col("kv.counters").alias("est"))
-    keys = [r["key"] for r in exploded.select("key").distinct().collect()]
-    mapping = decode_keys(docs.select(F.col("lang").alias("token")), "token", keys)
-    mapping_df = spark.createDataFrame(
-        [(int(key), tok) for key, tok in mapping.items()], "key long, token string"
-    )
-    return (
-        exploded.join(F.broadcast(mapping_df), "key")
-        .select("source", "token", "est")
+    return mg_topk_grouped(
+        docs.select("source", F.col("lang").alias("token")), "source", "token", k=10,
+        salt_buckets=4,
     )
 
 

@@ -51,6 +51,7 @@ __all__ = [
     "mg_tree_merge",
     "mg_sketch",
     "mg_sketch_grouped",
+    "mg_topk_grouped",
     "encode_tokens",
     "decode_keys",
     "mg_topk",
@@ -442,6 +443,7 @@ def mg_sketch_grouped(
     key_col: str,
     k: int,
     salt_buckets: int = 8,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Per-entity MG sketches with explicit salting for skewed groups.
 
@@ -449,7 +451,9 @@ def mg_sketch_grouped(
     straggle; instead group by ``(group, salt)`` where the salt spreads a
     group's rows over ``salt_buckets`` sub-sketches, then merge the
     sub-sketches per group in a second, tiny aggregation.  Output: one row
-    per group with the merged sketch arrays.
+    per group with the merged sketch arrays.  With ``token_col``, one
+    exemplar token per surviving key rides along (``tokens`` array), so
+    callers decode without re-scanning the input.
     """
     # Salt deterministically from row content: a nondeterministic per-row
     # expression (e.g. monotonically_increasing_id) feeding a shuffle can
@@ -465,7 +469,16 @@ def mg_sketch_grouped(
         state = MGState(k=k)
         keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=-1)
         state = mg_build_weighted(state, keys, np.ones(len(keys), dtype=np.int64))
-        out = _state_to_row(state, 0, len(pdf), 0.0)
+        tokens = None
+        if token_col is not None:
+            firsts = (
+                pdf.dropna(subset=[key_col])
+                .drop_duplicates(subset=key_col)
+                .set_index(key_col)[token_col]
+            )
+            mapping = {int(key): str(tok) for key, tok in firsts.items() if tok is not None}
+            tokens = _aligned_tokens(mapping, state.keys)
+        out = _state_to_row(state, 0, len(pdf), 0.0, tokens)
         out.insert(0, "group", [pdf["_group"].iloc[0]])
         return out
 
@@ -482,13 +495,52 @@ def mg_sketch_grouped(
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("partition_id")
         state = MGState(k=k)
+        exemplars: dict[int, str] = {}
+        have_tokens = False
         for row in pdf.itertuples(index=False):
-            state = mg_merge(state, _row_to_state(row._asdict(), k))
-        out = _state_to_row(state, 0, int(pdf["rows"].sum()), 0.0)
+            fields = row._asdict()
+            state = mg_merge(state, _row_to_state(fields, k))
+            tokens = fields.get("tokens")
+            if tokens is not None and not isinstance(tokens, float):
+                have_tokens = True
+                for key, token in zip(fields["keys"], tokens):
+                    if token is not None:
+                        exemplars.setdefault(int(key), str(token))
+        tokens_out = _aligned_tokens(exemplars, state.keys) if have_tokens else None
+        out = _state_to_row(state, 0, int(pdf["rows"].sum()), 0.0, tokens_out)
         out.insert(0, "group", [pdf["group"].iloc[0]])
         return out
 
     return partials.groupBy("group").applyInPandas(merge_group, grouped_schema)
+
+
+def mg_topk_grouped(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    k: int,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Per-group heavy hitters decoded to tokens: (group, token, est).
+
+    One pass: tokens are hashed JVM-side, per-group sketches build on the
+    salted path, and exemplar tokens carried in the sketch rows decode
+    the <= k survivors per group — no second scan of the input.  Exact
+    whenever a group's token cardinality is <= k.
+    """
+    encoded = encode_tokens(df.select(group_col, token_col), token_col)
+    grouped = mg_sketch_grouped(
+        encoded, group_col, "key", k, salt_buckets, token_col=token_col
+    )
+    exploded = grouped.select(
+        F.col("group").alias(group_col),
+        F.explode(F.arrays_zip("tokens", "counters")).alias("kv"),
+    )
+    return exploded.select(
+        group_col,
+        F.col("kv.tokens").alias("token"),
+        F.col("kv.counters").alias("est"),
+    )
 
 
 def max_user_contribution(df: DataFrame, user_col: str) -> int:
