@@ -285,6 +285,37 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
+def q_minhash_est_vs_true_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable invariant of the MinHash pipeline: est_jaccard is
+    a mean of 128 Bernoulli(j) agreements, sd <= sqrt(j(1-j)/128) ~
+    0.044, so every released pair must sit within 0.18 (4 sd) of the
+    exact shingle Jaccard, recomputed pairwise from the texts."""
+    from mgspark.pipeline.dedup import _shingle_hashes_batch, minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    ids = sorted({r["id_a"] for r in pairs} | {r["id_b"] for r in pairs})
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(ids)).select("doc_id", "text").collect()
+    }
+    import pandas as pd
+
+    shingles = {
+        doc: set(h.tolist())
+        for doc, h in zip(ids, _shingle_hashes_batch(pd.Series([texts[d] for d in ids]), 5))
+    }
+    violations = 0
+    for r in pairs:
+        a, b = shingles[r["id_a"]], shingles[r["id_b"]]
+        true_j = len(a & b) / max(len(a | b), 1)
+        if abs(r["est_jaccard"] - true_j) > 0.18:
+            violations += 1
+    return spark.createDataFrame(
+        [(violations, int(len(pairs) > 0))], "violations long, found_pairs long"
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.similarity import cosine_topk
 
@@ -635,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_est_vs_true_jaccard": q_minhash_est_vs_true_jaccard,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -763,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "streaming_mg_event_type": _mg_topk_oracle("events", "event_type"),
+        "minhash_est_vs_true_jaccard": (
+            "SELECT 0::BIGINT AS violations, 1::BIGINT AS found_pairs"
+        ),
         "cosine_topk": (
             "SELECT vec_id AS id, ROUND(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "

@@ -437,12 +437,37 @@ def mg_sketch(
     return state
 
 
+def _salt_probe(df: DataFrame, group_col: str) -> int:
+    """Skew-sized salt bucket count from a bounded prefix.
+
+    If the largest group holds > 25% of the probed rows, spread it over
+    roughly the cluster's parallelism (capped) so one giant group cannot
+    straggle a single task; balanced groups keep the small default (extra
+    buckets only add merge rows).
+    """
+    probe = (
+        df.select(group_col)
+        .limit(_PROBE_ROWS)
+        .groupBy(group_col)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    if not probe or not probe["n"]:
+        return 8
+    share = probe["mx"] / probe["n"]
+    if share <= 0.25:
+        return 8
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return max(8, min(64, parallelism))
+
+
 def mg_sketch_grouped(
     df: DataFrame,
     group_col: str,
     key_col: str,
     k: int,
-    salt_buckets: int = 8,
+    salt_buckets: int | str = 8,
     token_col: str | None = None,
 ) -> DataFrame:
     """Per-entity MG sketches with explicit salting for skewed groups.
@@ -454,7 +479,11 @@ def mg_sketch_grouped(
     per group with the merged sketch arrays.  With ``token_col``, one
     exemplar token per surviving key rides along (``tokens`` array), so
     callers decode without re-scanning the input.
+    ``salt_buckets="auto"`` sizes the salt to observed group skew with a
+    constant-cost prefix probe (:func:`_salt_probe`).
     """
+    if salt_buckets == "auto":
+        salt_buckets = _salt_probe(df, group_col)
     # Salt deterministically from row content: a nondeterministic per-row
     # expression (e.g. monotonically_increasing_id) feeding a shuffle can
     # re-salt rows on task retry, duplicating/losing them.  Hashing the key

@@ -277,3 +277,24 @@ def test_mg_sketch_all_invalid_keys(spark):
     df = spark.createDataFrame([(-1,), (-7,)], "key long")
     state = mg_sketch(df, "key", 5)
     assert state.to_dict() == {} and state.n == 0
+
+
+def test_salt_buckets_auto_sizes_to_skew(spark):
+    """salt_buckets='auto': a dominant group gets spread over ~parallelism
+    buckets; balanced groups keep the small default."""
+    from mgspark.aggregate import _salt_probe
+
+    skewed = spark.createDataFrame(
+        [("big" if i % 10 else "small", i) for i in range(5000)], "g string, key long"
+    )
+    balanced = spark.createDataFrame(
+        [(f"g{i % 50}", i) for i in range(5000)], "g string, key long"
+    )
+    assert _salt_probe(skewed, "g") > 8 or spark.sparkContext.defaultParallelism <= 8
+    assert _salt_probe(balanced, "g") == 8
+    # and the grouped sketch still produces exact results under 'auto'
+    from mgspark.aggregate import mg_sketch_grouped
+
+    result = mg_sketch_grouped(skewed, "g", "key", k=6000, salt_buckets="auto").collect()
+    got = {r["group"]: r["n"] for r in result}
+    assert got == {"big": 4500, "small": 500}
