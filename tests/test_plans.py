@@ -103,3 +103,38 @@ def test_grouped_sketch_exchanges_on_salted_key(docs):
     assert plan.count("FlatMapGroupsInPandas") >= 2
     first = plan.index("hashpartitioning")
     assert "_salt" in plan[first : first + 200]
+
+
+def test_combiner_preagg_has_mapside_partial_agg(docs):
+    """The combiner plan must show a two-phase hash aggregate (partial
+    map-side combine before the exchange): shuffle bytes are then
+    O(distinct keys per partition), the property that makes the combiner
+    beat the Arrow pipe at scale."""
+    tokens = encode_tokens(content_tokens(docs, "text"), "token")
+    pre = tokens.groupBy("key").agg(F.count("*").cast("long").alias("_w"))
+    plan = _formatted(pre)
+    # Spark renders partial+final as two HashAggregate nodes around one
+    # Exchange; count nodes in the plan tree (node ids like "(6) Exchange"
+    # repeat in the details section, so count tree entries only).
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate (") >= 2, plan
+    assert tree.count("Exchange (") == 1, plan
+
+
+def test_mg_topk_probe_scans_single_column(docs):
+    """The combiner probe must be a pruned single-column scan (ReadSchema
+    carries only the probed column), not a full-width read."""
+    from mgspark.aggregate import _PROBE_ROWS
+
+    probe = (
+        docs.select("lang")
+        .limit(_PROBE_ROWS)
+        .agg(
+            F.count("lang").alias("rows"),
+            F.approx_count_distinct("lang").alias("distinct"),
+        )
+    )
+    plan = _formatted(probe)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" in read_schema[0]
+    assert "text" not in read_schema[0], "probe must not read the text column"
