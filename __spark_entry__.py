@@ -400,8 +400,12 @@ def q_streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataF
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = windowed_token_counts(stream, "ts", "event_type", window="1 hour", watermark="2 hours")
     name = _run_stream_to_memory(out, "win_counts", "complete")
+    # Format the window start as a string so the oracle comparison is
+    # independent of engine timestamp stringification conventions.
     return spark.table(name).select(
-        F.col("window_start"), F.col("token"), F.col("cnt").alias("cnt")
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("token"),
+        F.col("cnt").alias("cnt"),
     )
 
 
@@ -790,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(['lsh', 'ivf']) AS method, 1::BIGINT AS matches_exact"
         ),
         "streaming_windowed_event_counts": (
-            "SELECT date_trunc('hour', ts) AS window_start, "
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
             "event_type AS token, COUNT(*)::BIGINT AS cnt "
             "FROM events GROUP BY 1, 2"
         ),

@@ -131,3 +131,38 @@ def test_find_threshold_monotone_properties(eps, delta):
     assert dp.find_threshold(eps * 2, delta) <= t
     # looser delta can only lower the threshold
     assert dp.find_threshold(eps, min(delta * 10, 0.05)) <= t
+
+
+@given(
+    st.integers(min_value=16, max_value=512).filter(lambda n: n & (n - 1) == 0),
+    st.floats(min_value=0.05, max_value=0.99),
+)
+def test_pick_num_bands_crossover_below_threshold(num_hashes, threshold):
+    """The chosen band split's S-curve crossover must sit within the
+    documented 2% tolerance of the threshold, and bands must divide the
+    signature length."""
+    from mgspark.pipeline.dedup import pick_num_bands
+
+    bands = pick_num_bands(num_hashes, threshold)
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    if bands >= 2:
+        assert (1.0 / bands) ** (1.0 / r) <= threshold + 0.02 + 1e-12
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200))
+def test_exemplar_invariant_every_state_key_decodable(keys):
+    """After folding any batch, every surviving state key has an exemplar
+    (the single-scan decode invariant)."""
+    import numpy as np
+
+    from mgspark.aggregate import _update_exemplars
+    from mgspark.kernel import MGState, mg_build_weighted
+
+    arr = np.asarray(keys, dtype=np.int64)
+    state = mg_build_weighted(MGState(k=8), arr, np.ones(len(arr), dtype=np.int64))
+    tokens = [f"t{key}" for key in keys]
+    exemplars = _update_exemplars({}, state.keys, arr, tokens)
+    assert set(map(int, state.keys)) <= set(exemplars)
+    for key, token in exemplars.items():
+        assert token == f"t{key}"
