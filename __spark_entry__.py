@@ -503,6 +503,24 @@ def q_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_asset_meta(assets)
 
 
+def q_asset_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte histogram of the asset payloads
+    (multimodal.byte_histogram_features), exploded to (asset_id, bin,
+    cnt) rows as exact integer counts (normalized fractions hit .5-ulp
+    rounding-tie differences across engines); with 16 bins the bin is
+    the byte's high nibble, which the DuckDB oracle reads straight off
+    the hex dump."""
+    from mgspark.pipeline.multimodal import byte_histogram_features
+
+    assets = spark.read.parquet(_ASSETS_PARQUET)
+    feats = byte_histogram_features(assets, n_bins=16, normalize=False)
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("bin", "cnt")
+    ).select(
+        "asset_id", F.col("bin").cast("long").alias("bin"), F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def q_asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-timestamp sampling for video assets
     (multimodal.sample_frames); deterministic, DuckDB-oracled."""
@@ -678,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (binary asset columns)
         "asset_meta": q_asset_meta,
         "asset_frame_samples": q_asset_frame_samples,
+        "asset_byte_histogram": q_asset_byte_histogram,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,
@@ -727,6 +746,18 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT asset_id, "
             "CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS BIGINT) AS frame_ts "
             "FROM parsed WHERE kind_idx = 2 AND duration_ms > 0"
+        ),
+        "asset_byte_histogram": (
+            f"WITH hx AS (SELECT asset_id, substr(hex(payload), 27) AS h "
+            f"FROM read_parquet('{_ASSETS_PARQUET}')), "
+            # one row per payload byte: its high nibble = the 16-bin bin id
+            "bins AS (SELECT asset_id, "
+            "CAST(('0x' || substr(h, 2 * u.i - 1, 1)) AS INTEGER) AS bin "
+            "FROM hx, LATERAL (SELECT unnest(range(1, len(h) // 2 + 1)) AS i) u), "
+            "counts AS (SELECT asset_id, bin, COUNT(*) AS n FROM bins GROUP BY 1, 2), "
+            "grid AS (SELECT asset_id, unnest(range(16)) AS bin FROM hx) "
+            "SELECT g.asset_id, g.bin::BIGINT AS bin, COALESCE(c.n, 0)::BIGINT AS cnt "
+            "FROM grid g LEFT JOIN counts c ON g.asset_id = c.asset_id AND g.bin = c.bin"
         ),
         "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
         "exact_dup_groups_source": (

@@ -151,10 +151,14 @@ _FEAT_SCHEMA = StructType(
 )
 
 
-def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
-    """Deterministic per-asset feature vector: normalized byte histogram
-    of the payload — the feature-extraction stage with the codec swapped
-    for a histogram (numpy bincount per asset)."""
+def byte_histogram_features(
+    df: DataFrame, n_bins: int = 16, normalize: bool = True
+) -> DataFrame:
+    """Deterministic per-asset feature vector: byte histogram of the
+    payload — the feature-extraction stage with the codec swapped for a
+    histogram (numpy bincount per asset).  ``normalize=False`` keeps raw
+    integer counts (exact, so cross-engine oracle comparisons avoid
+    float rounding ties)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,7 +169,10 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
                     feats.append([0.0] * n_bins)
                     continue
                 hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)
-                feats.append((hist / hist.sum()).tolist())
+                if normalize:
+                    feats.append((hist / hist.sum()).tolist())
+                else:
+                    feats.append(hist.astype(np.float64).tolist())
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"].to_numpy(dtype=np.int64), "features": feats}
             )
