@@ -41,8 +41,8 @@ Usage:
     python -m mgspark userlevel <sketch size> <epsilon> <delta> <user element count> <stream file>
   Create a user-level (epsilon, 0)-private sketch:
     python -m mgspark userlevel <sketch size> <epsilon> 0 <user element count> <universe size> <stream file>
-  Distributed sketch of a parquet column (Spark job):
-    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path> <column> [checkpoint dir]"""
+  Distributed sketch of a parquet or catalog-table column (Spark job):
+    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path | table:NAME> <column> [checkpoint dir]"""
 
 
 def _build_from_file(path: str, k: int) -> MGState:
@@ -142,7 +142,12 @@ def spark_sketch(argv: list[str]) -> None:
     path, column = argv[5], argv[6]
     checkpoint = argv[7] if len(argv) > 7 else None
     spark = get_spark("mgspark-cli")
-    df = spark.read.parquet(path)
+    # `table:NAME` reads from the session catalog (temp view, Hive, or an
+    # Iceberg/Delta catalog when configured); a bare path reads parquet.
+    if path.startswith("table:"):
+        df = spark.read.table(path[len("table:"):])
+    else:
+        df = spark.read.parquet(path)
     encoded = encode_tokens(df, column)
     state = mg_sketch(encoded, "key", k, checkpoint_dir=checkpoint)
     sketch = state.to_dict()

@@ -257,3 +257,15 @@ def test_ivf_index_dir_roundtrip(spark, tmp_path):
     got = {r["id"] for r in reopened.topk(rows[0][1], k=5, n_probe=8).collect()}
     exact = {r["id"] for r in cosine_topk(df, "embedding", "vec_id", rows[0][1], 5).collect()}
     assert got == exact  # n_probe = n_centroids -> exhaustive, must match exact
+
+
+def test_spark_cli_table_source(spark, capsys):
+    """`table:NAME` reads the sketch input from the session catalog."""
+    from mgspark.cli import spark_sketch
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").createOrReplaceTempView(
+        "cli_docs"
+    )
+    spark_sketch(["mgspark", "spark", "5", "2.0", "0.001", "table:cli_docs", "lang"])
+    out = capsys.readouterr().out
+    assert "Sketch        :" in out and "N, d          : 500" in out
