@@ -240,7 +240,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _lang_id_oracle() -> str:
+def _lang_id_oracle(source: str = "documents") -> str:
     """DuckDB equivalent of the stopword/CJK heuristic — lang_id is pure
     column expressions, so the oracle replicates it list-function by
     list-function (same stopword lists, same argmax tie-break)."""
@@ -258,17 +258,50 @@ def _lang_id_oracle() -> str:
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     whens = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs[:-1])
     return (
-        "WITH base AS (SELECT doc_id, "
+        f"WITH base AS (SELECT doc_id, "
         "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks, "
         "greatest(length(coalesce(text, '')), 1) AS n_chars, "
         "length(regexp_replace(coalesce(text, ''), '[^一-鿿]', '', 'g')) AS cjk "
-        "FROM documents), "
+        f"FROM {source}), "
         f"s AS (SELECT doc_id, toks, n_chars, cjk, {scores} FROM base) "
         "SELECT doc_id AS id, "
         "CASE WHEN cjk * 1.0 / n_chars > 0.05 THEN 'zh' "
         f"WHEN len(toks) = 0 OR {best} = 0 THEN 'und' "
         f"{whens} ELSE '{langs[-1]}' END AS lang_pred FROM s"
     )
+
+
+def _curate_oracle() -> str:
+    """Composition oracle: dedup (min id per distinct text) -> quality
+    formula -> thresholds -> lang id, all over the deduped subset."""
+    lang_sql = _lang_id_oracle("d")
+    return (
+        "WITH keep AS (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text), "
+        "d AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id IN (SELECT kid FROM keep)), "
+        "f AS (SELECT doc_id, "
+        "  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "
+        "  length(text)::DOUBLE AS n_chars, "
+        "  length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE AS n_clean "
+        "  FROM d), "
+        "q AS (SELECT doc_id AS id, n_tokens, "
+        "ROUND((CASE WHEN n_chars > 0 THEN n_clean / n_chars ELSE 0.0 END) * "
+        "  (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE n_tokens / 10.0 END), 4) AS quality "
+        "FROM f), "
+        f"l AS ({lang_sql}) "
+        "SELECT q.id, q.n_tokens, q.quality, l.lang_pred "
+        "FROM q JOIN l ON q.id = l.id "
+        "WHERE q.quality >= 0.5 AND q.n_tokens >= 5"
+    )
+
+
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call curation pipeline (dedup -> quality filter -> lang id) —
+    fully SQL-expressible composition, DuckDB-oracled."""
+    from mgspark.pipeline.curate import curate_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return curate_documents(docs, "text", "doc_id", min_quality=0.5, min_tokens=5)
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
+        "curate_documents": q_curate_documents,
         "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_est_vs_true_jaccard": q_minhash_est_vs_true_jaccard,
@@ -803,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_id": _lang_id_oracle(),
+        "curate_documents": _curate_oracle(),
         "mg_sketch_bound_doc_tokens": (
             "SELECT 0::BIGINT AS over_violations, 0::BIGINT AS under_violations, "
             "1::BIGINT AS released_le_k, "

@@ -1,0 +1,46 @@
+"""Document-curation composition: the one-call pipeline a training-data
+job runs before tokenization — exact dedup, quality scoring, threshold
+filter, per-document stats.
+
+Each stage is an already-tested operator (`dedup.dedup_exact`,
+`textstats.quality_score`, `textstats.lang_id`); the composition stays
+pure DataFrame ops, so Catalyst fuses the projections and the whole
+pipeline is SQL-oracle-able.  At scale the only shuffle is the dedup
+groupBy on sha256(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mgspark.pipeline.dedup import dedup_exact
+from mgspark.pipeline.textstats import lang_id, quality_score
+
+__all__ = ["curate_documents"]
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    keep_langs: list[str] | None = None,
+) -> DataFrame:
+    """Curated corpus rows: (id, n_tokens, quality, lang_pred).
+
+    Pipeline: exact dedup (keep min id per distinct text) -> quality
+    score -> drop documents below ``min_quality`` or shorter than
+    ``min_tokens`` -> heuristic language id -> optional language filter.
+    """
+    deduped = dedup_exact(df, text_col, id_col)
+    scored = quality_score(deduped, text_col, id_col)
+    kept = scored.where(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    langs = lang_id(deduped, text_col, id_col)
+    out = kept.join(langs, "id").select("id", "n_tokens", "quality", "lang_pred")
+    if keep_langs is not None:
+        out = out.where(F.col("lang_pred").isin(list(keep_langs)))
+    return out

@@ -297,3 +297,24 @@ def test_decode_image_is_clearly_stubbed(spark):
     assets = synth_assets(spark, n=4)
     with pytest.raises(NotImplementedError):
         decode_image(assets)
+
+
+def test_curate_documents_pipeline(spark, docs_with_dups):
+    """Curation composition: dedup removes planted exact dups, thresholds
+    drop low-quality/short docs, every row carries a lang prediction."""
+    from mgspark.pipeline.curate import curate_documents
+
+    out = curate_documents(docs_with_dups, "text", "doc_id", min_quality=0.3, min_tokens=3)
+    rows = out.collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert not any(10_000 <= i < 10_010 for i in ids), "planted exact dups must be gone"
+    assert all(r["quality"] >= 0.3 and r["n_tokens"] >= 3 for r in rows)
+    assert all(r["lang_pred"] is not None for r in rows)
+    # language filter narrows the output
+    en_only = curate_documents(
+        docs_with_dups, "text", "doc_id", min_quality=0.3, min_tokens=3,
+        keep_langs=["en"],
+    ).collect()
+    assert 0 < len(en_only) < len(rows)
+    assert all(r["lang_pred"] == "en" for r in en_only)
