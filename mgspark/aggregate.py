@@ -469,27 +469,43 @@ def mg_sketch_grouped(
     k: int,
     salt_buckets: int | str = 8,
     token_col: str | None = None,
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Per-entity MG sketches with explicit salting for skewed groups.
 
     ``groupBy(group)`` alone lets one giant group (e.g. a monorepo)
     straggle; instead group by ``(group, salt)`` where the salt spreads a
-    group's rows over ``salt_buckets`` sub-sketches, then merge the
+    group's keys over ``salt_buckets`` sub-sketches, then merge the
     sub-sketches per group in a second, tiny aggregation.  Output: one row
     per group with the merged sketch arrays.  With ``token_col``, one
     exemplar token per surviving key rides along (``tokens`` array), so
     callers decode without re-scanning the input.
     ``salt_buckets="auto"`` sizes the salt to observed group skew with a
     constant-cost prefix probe (:func:`_salt_probe`).
+
+    ``pre_aggregate=True`` (default) reduces to exact (group, key) counts
+    first: map-side combining collapses a hot key inside each scan
+    partition, so no single (group, key) can straggle one salt bucket —
+    a salt over raw rows cannot fix that, since a deterministic salt must
+    send equal rows to the same bucket.  Sub-group task size becomes
+    O(distinct keys / salt_buckets), not O(rows).
     """
     if salt_buckets == "auto":
         salt_buckets = _salt_probe(df, group_col)
+    weight_col = None
+    if pre_aggregate:
+        aggs = [F.count("*").cast("long").alias("_w")]
+        if token_col is not None:
+            # min() = deterministic exemplar (all tokens under one hash
+            # key are equal anyway, modulo hash collisions).
+            aggs.append(F.min(token_col).alias("_tok"))
+        df = df.groupBy(group_col, key_col).agg(*aggs)
+        weight_col = "_w"
+        if token_col is not None:
+            token_col = "_tok"
     # Salt deterministically from row content: a nondeterministic per-row
     # expression (e.g. monotonically_increasing_id) feeding a shuffle can
-    # re-salt rows on task retry, duplicating/losing them.  Hashing the key
-    # with a distinct seed term spreads any group whose keys vary; rows
-    # with identical (group, key) collapsing to one bucket is harmless —
-    # MG counts them identically wherever they land.
+    # re-salt rows on task retry, duplicating/losing them.
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(key_col), F.lit("mg_salt")), F.lit(salt_buckets))
     )
@@ -497,7 +513,11 @@ def mg_sketch_grouped(
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         state = MGState(k=k)
         keys = pdf[key_col].to_numpy(dtype=np.int64, na_value=-1)
-        state = mg_build_weighted(state, keys, np.ones(len(keys), dtype=np.int64))
+        if weight_col is not None:
+            weights = pdf[weight_col].to_numpy(dtype=np.int64, na_value=0)
+        else:
+            weights = np.ones(len(keys), dtype=np.int64)
+        state = mg_build_weighted(state, keys, weights)
         tokens = None
         if token_col is not None:
             firsts = (
@@ -507,7 +527,7 @@ def mg_sketch_grouped(
             )
             mapping = {int(key): str(tok) for key, tok in firsts.items() if tok is not None}
             tokens = _aligned_tokens(mapping, state.keys)
-        out = _state_to_row(state, 0, len(pdf), 0.0, tokens)
+        out = _state_to_row(state, 0, int(weights.sum()), 0.0, tokens)
         out.insert(0, "group", [pdf["_group"].iloc[0]])
         return out
 
@@ -563,11 +583,13 @@ def mg_topk_grouped(
     )
     exploded = grouped.select(
         F.col("group").alias(group_col),
-        F.explode(F.arrays_zip("tokens", "counters")).alias("kv"),
+        F.explode(F.arrays_zip("keys", "tokens", "counters")).alias("kv"),
     )
+    # Null-token inputs still hash to a valid key but have no exemplar;
+    # fall back to the stringified key like mg_topk does.
     return exploded.select(
         group_col,
-        F.col("kv.tokens").alias("token"),
+        F.coalesce(F.col("kv.tokens"), F.col("kv.keys").cast("string")).alias("token"),
         F.col("kv.counters").alias("est"),
     )
 
@@ -672,6 +694,12 @@ def mg_topk(
         state, mapping = _mg_sketch_core(
             encoded, "key", k, "_w", token_col, checkpoint_dir, 64
         )
+        # A checkpoint written by the zero-shuffle path (or older code)
+        # carries no exemplars; resolve any un-decoded keys with the
+        # broadcast semi-join instead of silently emitting hash strings.
+        missing = [int(key) for key in state.keys if int(key) not in mapping]
+        if missing:
+            mapping.update(decode_keys(df, token_col, missing))
     else:
         encoded = encode_tokens(df, token_col)
         state = mg_sketch(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mgspark.pipeline.dedup import dedup_exact
-from mgspark.pipeline.textstats import lang_id, quality_score
+from mgspark.pipeline.textstats import lang_pred_expr, quality_exprs
 
 __all__ = ["curate_documents"]
 
@@ -33,14 +33,22 @@ def curate_documents(
     Pipeline: exact dedup (keep min id per distinct text) -> quality
     score -> drop documents below ``min_quality`` or shorter than
     ``min_tokens`` -> heuristic language id -> optional language filter.
+    Quality and language are raw column expressions over the deduped
+    rows, so everything past the dedup shuffle fuses into one projection
+    (the quality filter sits below the language expression — no join, no
+    wasted lang scoring on dropped documents).
     """
     deduped = dedup_exact(df, text_col, id_col)
-    scored = quality_score(deduped, text_col, id_col)
-    kept = scored.where(
-        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    exprs = quality_exprs(text_col)
+    kept = deduped.where(
+        (exprs["quality"] >= min_quality) & (exprs["n_tokens"] >= min_tokens)
     )
-    langs = lang_id(deduped, text_col, id_col)
-    out = kept.join(langs, "id").select("id", "n_tokens", "quality", "lang_pred")
+    out = kept.select(
+        F.col(id_col).cast("long").alias("id"),
+        exprs["n_tokens"].alias("n_tokens"),
+        exprs["quality"].alias("quality"),
+        lang_pred_expr(text_col).alias("lang_pred"),
+    )
     if keep_langs is not None:
         out = out.where(F.col("lang_pred").isin(list(keep_langs)))
     return out

@@ -258,12 +258,12 @@ def minhash_dedup_pairs(
     persisted signatures are num_hashes*8 bytes/doc, orders of magnitude
     smaller than the text.
     """
-    from pyspark import StorageLevel
+    from mgspark.cacheutil import transient_persist
 
     if num_bands is None:
         num_bands = pick_num_bands(num_hashes, threshold)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = transient_persist(sigs)
     # Materialize the cache eagerly: the three consumers below otherwise
     # run as concurrent stages of one job and each recomputes the
     # shingling pass before any cache block lands.

@@ -322,13 +322,21 @@ def ann_ivf_topk(
 
 
 def _pairwise_cosine(pairs: DataFrame) -> DataFrame:
-    """Adds ``cosine`` for (vec_a, vec_b) columns, JVM higher-order fns."""
+    """Adds ``cosine`` for (vec_a, vec_b) columns, JVM higher-order fns.
+
+    Zero vectors get cosine 0.0, not NaN: Spark orders NaN above every
+    number, so an unguarded 0/0 would PASS a ``cosine >= t`` filter and
+    release a zero embedding as a near-duplicate of everything.
+    """
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     norm_a = F.sqrt(F.aggregate(F.transform("vec_a", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
     norm_b = F.sqrt(F.aggregate(F.transform("vec_b", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    return pairs.withColumn("cosine", dot / (norm_a * norm_b))
+    denom = norm_a * norm_b
+    return pairs.withColumn(
+        "cosine", F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    )
 
 
 def embedding_near_dup_pairs(
@@ -363,9 +371,9 @@ def embedding_near_dup_pairs(
         b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        from pyspark import StorageLevel
+        from mgspark.cacheutil import transient_persist
 
-        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        vecs = transient_persist(vecs)
         vecs.count()  # materialize before the multi-table fan-out
         cand = None
         for table in range(n_tables):
@@ -404,7 +412,14 @@ def embedding_near_dup_pairs(
 
 
 # Session-level index cache: (logical plan digest, params) -> IVFIndex.
+# Keyed by the plan's semantic hash, so it reuses the index for repeated
+# queries on the SAME logical input; if the files under a path mutate
+# between calls, the plan hash does not change — callers mutating data
+# must build explicitly with ivf_build (the plan-as-identity caveat of
+# any plan-keyed cache, same as Spark's own table cache).  Bounded:
+# inserting beyond the cap evicts (and unpersists) the oldest index.
 _IVF_CACHE: dict[tuple, IVFIndex] = {}
+_IVF_CACHE_MAX = 8
 
 
 def _ivf_index_cache_get(
@@ -416,5 +431,11 @@ def _ivf_index_cache_get(
         vec_col, id_col, n_centroids, seed,
     )
     if key not in _IVF_CACHE:
+        while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
+            _, evicted = _IVF_CACHE.popitem()
+            try:
+                evicted.indexed.unpersist()
+            except Exception:
+                pass
         _IVF_CACHE[key] = ivf_build(df, vec_col, id_col, n_centroids=n_centroids, seed=seed)
     return _IVF_CACHE[key]

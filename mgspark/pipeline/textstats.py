@@ -1,10 +1,11 @@
 """Text analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-Everything except language ID is pure JVM column expressions (whole-stage
-codegen, SQL-oracle-able).  Language ID is an n-gram/stopword heuristic
-with a vectorized pandas implementation — a deterministic function of the
-text, checked in pytest against the documents table's ``lang`` labels.
+Everything — including the stopword/CJK language-ID heuristic — is pure
+JVM column expressions (whole-stage codegen, SQL-oracle-able); the
+``*_exprs`` helpers expose the raw Columns so composed pipelines fuse
+into one projection.  Language ID accuracy is additionally checked in
+pytest against the documents table's ``lang`` labels.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint"]
+__all__ = ["token_stats", "quality_score", "quality_exprs", "lang_id", "lang_pred_expr", "fingerprint"]
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -32,14 +33,9 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Deterministic quality features + score, all JVM expressions.
-
-    Features: alpha ratio (alnum+space chars / chars), mean token length,
-    token count.  Score: alpha_ratio clipped-scaled against degenerate
-    docs; mirrors the SQL oracle exactly (integer counts, one division,
-    round 4).
-    """
+def quality_exprs(text_col: str) -> dict:
+    """The quality feature expressions as named Columns, reusable inside
+    larger single-projection pipelines (no forced intermediate select)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(text_col).cast("double")
@@ -51,12 +47,26 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         * F.when(n_tokens >= 10, F.lit(1.0)).otherwise(n_tokens / F.lit(10.0)),
         4,
     )
+    return {
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "mean_token_len": F.round(mean_tok, 4),
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality features + score, all JVM expressions.
+
+    Features: alpha ratio (alnum+space chars / chars), mean token length,
+    token count.  Score: alpha_ratio clipped-scaled against degenerate
+    docs; mirrors the SQL oracle exactly (integer counts, one division,
+    round 4).
+    """
+    exprs = quality_exprs(text_col)
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        n_tokens.alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(mean_tok, 4).alias("mean_token_len"),
-        score.alias("quality"),
+        *[col.alias(name) for name, col in exprs.items()],
     )
 
 
@@ -70,15 +80,9 @@ _STOPWORDS = {
 }
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic language ID: (id, lang_pred).
-
-    Scores = count of tokens in each language's stopword list (argmax
-    over counts equals argmax over fractions — shared denominator); CJK
-    detection via the Unicode block ratio; 'und' fallback when no
-    evidence.  Pure JVM column expressions (whole-stage codegen, no
-    Python in the scan) — and therefore SQL-oracle-able.
-    """
+def lang_pred_expr(text_col: str):
+    """The language-prediction Column, reusable inside larger
+    single-projection pipelines."""
     langs = sorted(_STOPWORDS)
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
@@ -101,9 +105,21 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # First max in sorted lang order — same tie-break as np.argmax.
     for lang in langs:
         pred = pred.when(score_cols[lang] == best, F.lit(lang))
+    return pred
 
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: (id, lang_pred).
+
+    Scores = count of tokens in each language's stopword list (argmax
+    over counts equals argmax over fractions — shared denominator); CJK
+    detection via the Unicode block ratio; 'und' fallback when no
+    evidence.  Pure JVM column expressions (whole-stage codegen, no
+    Python in the scan) — and therefore SQL-oracle-able.
+    """
     return df.select(
-        F.col(id_col).cast("long").alias("id"), pred.alias("lang_pred")
+        F.col(id_col).cast("long").alias("id"),
+        lang_pred_expr(text_col).alias("lang_pred"),
     )
 
 

@@ -90,8 +90,10 @@ def test_broadcast_decode_join(spark, sf_dir):
 
 
 def test_grouped_sketch_exchanges_on_salted_key(docs):
-    """mg_sketch_grouped must hash-partition on (group, salt), then on
-    group — two exchanges, both of sketch-sized rows."""
+    """mg_sketch_grouped: exact (group, key) combiner first (map-side
+    partial agg so a hot key cannot straggle a salt bucket), then the
+    salted build exchange, then the per-group merge — and the salt must
+    appear in a partitioning key."""
     from mgspark.aggregate import mg_sketch_grouped
 
     df = docs.select(
@@ -101,8 +103,12 @@ def test_grouped_sketch_exchanges_on_salted_key(docs):
     plan = _formatted(mg_sketch_grouped(df, "lang", "key", 8, salt_buckets=4))
     # formatted output lists each node in the tree and in the details
     assert plan.count("FlatMapGroupsInPandas") >= 2
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate (") >= 2, plan  # partial+final combiner
     first = plan.index("hashpartitioning")
-    assert "_salt" in plan[first : first + 200]
+    assert "key" in plan[first : first + 200]  # combiner exchange on (group, key)
+    salted = plan.index("hashpartitioning", first + 1)
+    assert "_salt" in plan[salted : salted + 200]
 
 
 def test_combiner_preagg_has_mapside_partial_agg(docs):

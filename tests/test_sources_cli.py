@@ -269,3 +269,20 @@ def test_spark_cli_table_source(spark, capsys):
     spark_sketch(["mgspark", "spark", "5", "2.0", "0.001", "table:cli_docs", "lang"])
     out = capsys.readouterr().out
     assert "Sketch        :" in out and "N, d          : 500" in out
+
+
+def test_embedding_near_dup_zero_vector_not_released(spark):
+    """Zero embeddings must not pass the cosine threshold via NaN (Spark
+    orders NaN above every number)."""
+    from mgspark.pipeline.similarity import embedding_near_dup_pairs
+
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for method in ("exact", "lsh"):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, "embedding", "vec_id", threshold=0.9, method=method
+            ).collect()
+        }
+        assert found == {(1, 2)}, f"{method}: {found}"

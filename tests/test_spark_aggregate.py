@@ -298,3 +298,20 @@ def test_salt_buckets_auto_sizes_to_skew(spark):
     result = mg_sketch_grouped(skewed, "g", "key", k=6000, salt_buckets="auto").collect()
     got = {r["group"]: r["n"] for r in result}
     assert got == {"big": 4500, "small": 500}
+
+
+def test_mg_topk_combiner_resume_from_tokenless_checkpoint(spark, docs, tmp_path):
+    """A checkpoint written by the zero-shuffle path carries no exemplar
+    tokens; a combiner-path resume must still decode real tokens (via the
+    broadcast-decode fallback), never stringified hash keys."""
+    from mgspark.aggregate import mg_topk
+
+    ckpt = str(tmp_path / "cross_ckpt")
+    langs = docs.select(F.col("lang").alias("token"))
+    first = {r["token"]: r["est"] for r in mg_topk(langs, "token", 64, checkpoint_dir=ckpt, pre_aggregate=False).collect()}
+    resumed = {
+        r["token"]: r["est"]
+        for r in mg_topk(langs, "token", 64, checkpoint_dir=ckpt, pre_aggregate=True).collect()
+    }
+    assert resumed == first
+    assert all(not t.isdigit() for t in resumed), "must not emit hash-key strings"
