@@ -175,17 +175,20 @@ def q_mg_grouped_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mg_private_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline incl. central approx-DP release (random -> rows-only)."""
+    """Full pipeline incl. central approx-DP release (random -> rows-only).
+
+    Single scan: exemplar tokens ride in the sketch partials, so released
+    keys decode with no second pass over the input (approx-DP never
+    invents keys, so the exemplar map covers every released key)."""
     from mgspark import dp
-    from mgspark.aggregate import decode_keys, encode_tokens, mg_sketch
+    from mgspark.aggregate import encode_tokens, mg_sketch_with_tokens
 
     events = _read(spark, sf_dir, "events").select(
         F.col("event_type").alias("token")
     )
     encoded = encode_tokens(events, "token")
-    state = mg_sketch(encoded, "key", 10)
+    state, mapping = mg_sketch_with_tokens(encoded, "key", 10, token_col="token")
     released = dp.privatize_merged(state.to_dict(), 10, epsilon=2.0, delta=1e-6)
-    mapping = decode_keys(events, "token", list(released))
     rows = [(mapping.get(key, str(key)), int(cnt)) for key, cnt in released.items()]
     return spark.createDataFrame(rows, "token string, est long")
 
@@ -444,12 +447,13 @@ def q_streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataF
 
 def q_streaming_mg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming MG (applyInPandasWithState, sharded O(k) state)
-    over the events stream; shard sketches merged driver-side and decoded.
-    event_type cardinality <= k, so the release is exact -> GROUP BY
-    oracle."""
+    over the events stream; shard sketches merged driver-side and decoded
+    from the exemplar tokens carried in the streaming state (no scan of
+    the stream history).  event_type cardinality <= k, so the release is
+    exact -> GROUP BY oracle."""
     import numpy as np
 
-    from mgspark.aggregate import decode_keys, encode_tokens
+    from mgspark.aggregate import encode_tokens
     from mgspark.kernel import MGState, mg_merge
     from mgspark.streaming import mg_streaming_sketch
 
@@ -461,12 +465,13 @@ def q_streaming_mg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     encoded = encode_tokens(stream.select(F.col("event_type").alias("token")), "token")
-    out = mg_streaming_sketch(encoded, "key", k=10, num_shards=4)
+    out = mg_streaming_sketch(encoded, "key", k=10, num_shards=4, token_col="token")
     name = _run_stream_to_memory(out, "mg_stream", "update")
     rows = spark.table(name).collect()
     # update mode can emit several updates per shard across micro-batches;
     # the final state per shard is the one with the largest n.
     latest: dict[int, MGState] = {}
+    mapping: dict[int, str] = {}
     for r in rows:
         state = MGState(
             k=10,
@@ -477,12 +482,13 @@ def q_streaming_mg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if r["shard"] not in latest or state.n > latest[r["shard"]].n:
             latest[r["shard"]] = state
+        if r["tokens"] is not None:
+            for key, tok in zip(r["keys"], r["tokens"]):
+                if tok is not None:
+                    mapping.setdefault(int(key), str(tok))
     merged = MGState(k=10)
     for shard in sorted(latest):
         merged = mg_merge(merged, latest[shard])
-    mapping = decode_keys(
-        static.select(F.col("event_type").alias("token")), "token", merged.keys.tolist()
-    )
     out_rows = [
         (mapping.get(int(key), str(int(key))), int(cnt))
         for key, cnt in zip(merged.keys, merged.counters)
@@ -635,15 +641,13 @@ def q_cms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mg_user_level_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-level approx-DP heavy hitters: events.user_id is the user,
     event_type the token; contribution bound derived distributedly
-    (random release -> rows-only)."""
-    from mgspark.aggregate import decode_keys, mg_user_level_release
+    (random release -> rows-only).  Exemplar decode — one scan."""
+    from mgspark.aggregate import mg_user_level_release
 
     events = _read(spark, sf_dir, "events")
-    released = mg_user_level_release(
-        events, "user_id", "event_type", k=10, epsilon=50.0, delta=1e-3
-    )
-    mapping = decode_keys(
-        events.select(F.col("event_type").alias("token")), "token", list(released)
+    released, mapping = mg_user_level_release(
+        events, "user_id", "event_type", k=10, epsilon=50.0, delta=1e-3,
+        return_tokens=True,
     )
     rows = [(mapping.get(key, str(key)), int(cnt)) for key, cnt in released.items()]
     return spark.createDataFrame(rows, "token string, est long")
@@ -677,15 +681,15 @@ def q_mg_pure_dp_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MG over pre-aggregated (token, weight) rows — the weighted build
-    path.  Cardinality <= k, so exact: same oracle as plain top-k."""
-    from mgspark.aggregate import decode_keys, encode_tokens, mg_sketch
+    path.  Cardinality <= k, so exact: same oracle as plain top-k.
+    Exemplar decode — one scan of the input."""
+    from mgspark.aggregate import encode_tokens, mg_sketch_with_tokens
 
     events = _read(spark, sf_dir, "events")
     pre = events.groupBy("event_type").agg(F.count("*").alias("w"))
     encoded = encode_tokens(pre, "event_type")
-    state = mg_sketch(encoded, "key", 10, weight_col="w")
-    mapping = decode_keys(
-        events.select(F.col("event_type").alias("token")), "token", state.keys.tolist()
+    state, mapping = mg_sketch_with_tokens(
+        encoded, "key", 10, token_col="event_type", weight_col="w"
     )
     rows = [
         (mapping.get(int(key), str(int(key))), int(cnt))

@@ -50,6 +50,7 @@ __all__ = [
     "mg_partials",
     "mg_tree_merge",
     "mg_sketch",
+    "mg_sketch_with_tokens",
     "mg_sketch_grouped",
     "mg_topk_grouped",
     "encode_tokens",
@@ -391,6 +392,55 @@ def _combiner_probe(df: DataFrame, key_col: str) -> bool:
     return rows_n == 0 or int(probe["distinct"]) <= rows_n * 0.5
 
 
+def mg_sketch_with_tokens(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    token_col: str | None,
+    weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    fanout: int = 64,
+    pre_aggregate: bool | str = "auto",
+) -> tuple[MGState, dict[int, str]]:
+    """Distributed MG sketch plus exemplar-token decode in ONE input scan.
+
+    Returns ``(final MGState, {key: exemplar token})``: one token string
+    per surviving key rides along in the partial-sketch rows (stage 1)
+    and through every merge round, so releases decode without a second
+    scan of the input (the decode-re-scan would double the dominant cost
+    of every DP query at 100 TB).  Exemplars cover every released key of
+    the approx-DP mechanisms (they never invent keys); pure-DP releases
+    can add fresh universe keys, which need a dictionary universe instead
+    (see the CLI's pure mode / ``q_mg_pure_dp_doc_lang``).
+
+    On the combiner path exemplars cost O(distinct keys) extra bytes; on
+    the zero-shuffle path the token column crosses the Arrow pipe per
+    row — still one scan, but prefer the combiner when cardinality allows
+    (the ``"auto"`` probe does this).
+    """
+    if pre_aggregate == "auto":
+        import os
+
+        if checkpoint_dir is not None and os.path.exists(
+            os.path.join(checkpoint_dir, "_SUCCESS")
+        ):
+            pre_aggregate = False  # resuming from partials; no probe needed
+        else:
+            pre_aggregate = _combiner_probe(df, key_col)
+    if pre_aggregate:
+        weight_expr = F.count("*") if weight_col is None else F.sum(weight_col)
+        aggs = [weight_expr.cast("long").alias("_w")]
+        if token_col is not None:
+            # min() = deterministic exemplar (all tokens under one hashed
+            # key are equal anyway, modulo hash collisions).
+            aggs.append(F.min(token_col).cast("string").alias("_tok"))
+        df = df.groupBy(key_col).agg(*aggs)
+        weight_col = "_w"
+        if token_col is not None:
+            token_col = "_tok"
+    return _mg_sketch_core(df, key_col, k, weight_col, token_col, checkpoint_dir, fanout)
+
+
 def mg_sketch(
     df: DataFrame,
     key_col: str,
@@ -411,28 +461,19 @@ def mg_sketch(
     before the sketch: map-side combining means only *distinct* keys per
     shuffle partition cross the JVM->Python Arrow boundary (the per-pipe
     boundary throughput, not Python compute, is the hot-path ceiling).
-    Results are identical — exact counts are a valid MG input — but the
-    plan gains a key shuffle, so it wins when key cardinality is well
-    below the row count; ``False`` keeps the zero-shuffle sketch path for
-    unbounded key spaces.  The default ``"auto"`` picks per input with a
-    cheap JVM-only cardinality probe (:func:`_combiner_probe`) — the fast
-    plan must never be opt-in.
+    Both plans give the full MG guarantee (est in [true - N/(k+1), true]);
+    when key cardinality is <= k the results are bit-identical, while at
+    higher cardinality the combiner and zero-shuffle plans can release
+    *different* (equally bound-valid) key sets, so the data-dependent
+    ``"auto"`` probe may change the released keys between runs on
+    slightly different inputs.  The combiner plan gains a key shuffle, so
+    it wins when key cardinality is well below the row count; ``False``
+    keeps the zero-shuffle sketch path for unbounded key spaces.  The
+    default ``"auto"`` picks per input with a cheap JVM-only cardinality
+    probe (:func:`_combiner_probe`) — the fast plan must never be opt-in.
     """
-    if pre_aggregate == "auto":
-        import os
-
-        if checkpoint_dir is not None and os.path.exists(
-            os.path.join(checkpoint_dir, "_SUCCESS")
-        ):
-            pre_aggregate = False  # resuming from partials; no probe needed
-        else:
-            pre_aggregate = _combiner_probe(df, key_col)
-    if pre_aggregate:
-        weight_expr = F.count("*") if weight_col is None else F.sum(weight_col)
-        pre = df.groupBy(key_col).agg(weight_expr.cast("long").alias("_w"))
-        df, weight_col = pre, "_w"
-    state, _ = _mg_sketch_core(
-        df, key_col, k, weight_col, None, checkpoint_dir, fanout
+    state, _ = mg_sketch_with_tokens(
+        df, key_col, k, None, weight_col, checkpoint_dir, fanout, pre_aggregate
     )
     return state
 
@@ -616,7 +657,8 @@ def mg_user_level_release(
     universe_size: int | None = None,
     user_element_count: int | None = None,
     rng=None,
-) -> dict[int, int]:
+    return_tokens: bool = False,
+) -> dict[int, int] | tuple[dict[int, int], dict[int, str]]:
     """End-to-end user-level DP heavy hitters over hashed token keys.
 
     Validates (or derives) the per-user contribution bound ``m`` with a
@@ -628,7 +670,10 @@ def mg_user_level_release(
     (sensitivity 1/2) only apply to sequentially built sketches — using
     them here would under-noise; the CLI's ``userlevel`` mode keeps them
     because it builds with the sequential kernel.  Returns the released
-    {key: counter} dict; decode via :func:`decode_keys`.
+    {key: counter} dict; with ``return_tokens=True`` also returns the
+    exemplar {key: token} map carried through the build (one scan — no
+    decode re-scan; approx-DP releases never invent keys, so the map
+    covers every released key).
     """
     from mgspark import dp
 
@@ -641,17 +686,23 @@ def mg_user_level_release(
             )
         m = user_element_count
     if m <= 0:
-        return {}
+        return ({}, {}) if return_tokens else {}
     encoded = encode_tokens(df, token_col)
-    state = mg_sketch(encoded, "key", k)
+    state, exemplars = mg_sketch_with_tokens(
+        encoded, "key", k, token_col if return_tokens else None
+    )
     sketch = state.to_dict()
     if delta > 0:
-        return dp.privatize_user_level_merged(sketch, k, epsilon, delta, m, rng=rng)
-    if universe_size is None:
+        released = dp.privatize_user_level_merged(sketch, k, epsilon, delta, m, rng=rng)
+    elif universe_size is None:
         raise ValueError("pure DP (delta=0) requires universe_size")
-    return dp.purely_privatize_user_level_merged(
-        sketch, k, epsilon, universe_size, m, rng=rng
-    )
+    else:
+        released = dp.purely_privatize_user_level_merged(
+            sketch, k, epsilon, universe_size, m, rng=rng
+        )
+    if return_tokens:
+        return released, {key: exemplars[key] for key in released if key in exemplars}
+    return released
 
 
 def mg_topk(

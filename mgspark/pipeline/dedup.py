@@ -212,27 +212,35 @@ def lsh_candidate_pairs(
     return buckets.mapInPandas(pairs, pair_schema).distinct()
 
 
-def pick_num_bands(num_hashes: int, threshold: float) -> int:
+def pick_num_bands(num_hashes: int, threshold: float, margin: float = 0.1) -> int:
     """Bands/rows split matched to the query threshold.
 
-    The banding S-curve crosses ~(1/b)^(1/r) with b bands of r rows; a
-    split whose crossover sits far below the query threshold floods the
-    verifier with sub-threshold candidates (e.g. r=4, b=32 has crossover
-    0.42 — near-random text collides).  Pick the longest band (largest r)
-    whose crossover stays within ~2% above the threshold: candidates are
-    verified exactly afterwards (precision is unaffected), and recall
-    only softens for pairs sitting exactly at the threshold, while the
-    candidate count drops by orders of magnitude.
+    The banding S-curve crosses ~(1/b)^(1/r) with b bands of r rows.  Two
+    failure modes: a crossover far *below* the threshold floods the
+    verifier with sub-threshold candidates (r=4, b=32 crosses at 0.42 —
+    near-random text collides), while a crossover *at* the threshold
+    costs real recall for pairs sitting on it (r=8, b=16 crosses at 0.71:
+    an at-threshold j=0.7 pair collides with only ~61% probability).  So
+    pick the longest band (largest r, fewest candidates) whose crossover
+    sits at least ``margin`` BELOW the threshold; candidates are verified
+    exactly afterwards, so precision is unaffected.
+
+    Quantitative at-threshold recall for the defaults (num_hashes=128,
+    threshold=0.7, margin=0.1): picks r=5, b=25 (crossover 0.53) ->
+    P(collide | j=0.7) = 1-(1-0.7^5)^25 ~ 0.99, vs ~0.61 for the
+    at-threshold split.  Callers trading recall for candidate volume can
+    pass ``num_bands`` explicitly instead.
     """
-    best_bands = num_hashes  # r=1 fallback: crossover 1/num_hashes
-    r = 1
-    while r * 2 <= num_hashes:
-        r *= 2
-        b = num_hashes // r
-        if b < 2 or (1.0 / b) ** (1.0 / r) > threshold + 0.02:
-            break
-        best_bands = b
-    return best_bands
+    target = threshold - margin
+    # Smallest band count whose crossover is <= target, evaluated with
+    # the EFFECTIVE rows-per-band the banding code will use
+    # (sig_len // num_bands); non-dividing splits leave trailing hashes
+    # unused, which is fine.
+    for b in range(2, num_hashes + 1):
+        r = num_hashes // b
+        if r >= 1 and (1.0 / b) ** (1.0 / r) <= target:
+            return b
+    return num_hashes  # r=1 fallback: crossover 1/num_hashes
 
 
 def minhash_dedup_pairs(

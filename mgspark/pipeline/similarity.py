@@ -259,19 +259,37 @@ def ivf_build(
     every vector once, materialize (id, vec, centroid).
 
     With ``index_dir`` the index is written as parquet partitioned by
-    centroid (and reused if already present); otherwise it is persisted
-    in memory/disk cache.  Queries then run against the index alone.
+    centroid and reused on a later call only when the persisted build
+    params match (a changed ``n_centroids``/``sample_size``/``seed``
+    rebuilds rather than silently serving the stale layout); otherwise it
+    is persisted in memory/disk cache.  Queries then run against the
+    index alone.
     """
     spark = df.sparkSession
+    build_params = {
+        "n_centroids": n_centroids,
+        "sample_size": sample_size,
+        "iterations": iterations,
+        "seed": seed,
+    }
     if index_dir is not None:
         import json
         import os
 
         meta_path = os.path.join(index_dir, "_centroids.json")
+        data_dir = os.path.join(index_dir, "data")
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf8") as f:
-                centroids = np.asarray(json.load(f), dtype=np.float64)
-            return IVFIndex(centroids, spark.read.parquet(os.path.join(index_dir, "data")))
+                meta = json.load(f)
+            # Older indexes persisted a bare centroid list (no params) —
+            # treat those as a param mismatch and rebuild.
+            if (
+                isinstance(meta, dict)
+                and meta.get("params") == build_params
+                and os.path.isdir(data_dir)
+            ):
+                centroids = np.asarray(meta["centroids"], dtype=np.float64)
+                return IVFIndex(centroids, spark.read.parquet(data_dir))
 
     centroids = ivf_centroids(
         df, vec_col, n_centroids=n_centroids, sample_size=sample_size,
@@ -284,12 +302,10 @@ def ivf_build(
     )
     indexed = vecs.join(assigned, "id")
     if index_dir is not None:
-        indexed.write.mode("overwrite").partitionBy("centroid").parquet(
-            os.path.join(index_dir, "data")
-        )
+        indexed.write.mode("overwrite").partitionBy("centroid").parquet(data_dir)
         with open(meta_path, "w", encoding="utf8") as f:
-            json.dump(centroids.tolist(), f)
-        indexed = spark.read.parquet(os.path.join(index_dir, "data"))
+            json.dump({"centroids": centroids.tolist(), "params": build_params}, f)
+        indexed = spark.read.parquet(data_dir)
     else:
         from pyspark import StorageLevel
 
@@ -432,7 +448,9 @@ def _ivf_index_cache_get(
     )
     if key not in _IVF_CACHE:
         while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
-            _, evicted = _IVF_CACHE.popitem()
+            # FIFO: evict the OLDEST entry (dicts iterate in insertion
+            # order); plain popitem() would pop the newest and thrash.
+            evicted = _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
             try:
                 evicted.indexed.unpersist()
             except Exception:

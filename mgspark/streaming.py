@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -42,6 +43,7 @@ STREAM_OUTPUT_SCHEMA = StructType(
         StructField("shard", LongType(), False),
         StructField("keys", ArrayType(LongType(), False), False),
         StructField("counters", ArrayType(LongType(), False), False),
+        StructField("tokens", ArrayType(StringType(), True), True),
         StructField("n", LongType(), False),
         StructField("d", LongType(), False),
     ]
@@ -51,6 +53,7 @@ STREAM_STATE_SCHEMA = StructType(
     [
         StructField("keys", ArrayType(LongType(), False), True),
         StructField("counters", ArrayType(LongType(), False), True),
+        StructField("tokens", ArrayType(StringType(), True), True),
         StructField("n", LongType(), True),
         StructField("d", LongType(), True),
     ]
@@ -58,28 +61,41 @@ STREAM_STATE_SCHEMA = StructType(
 
 
 def mg_streaming_sketch(
-    stream_df: DataFrame, key_col: str, k: int, num_shards: int = 8
+    stream_df: DataFrame,
+    key_col: str,
+    k: int,
+    num_shards: int = 8,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Continuously-updated MG sketches over a streaming token column.
 
-    Emits one updated (shard, keys, counters, n, d) row per shard per
-    micro-batch (output mode: update).  State per shard is O(k).
+    Emits one updated (shard, keys, counters, tokens, n, d) row per shard
+    per micro-batch (output mode: update).  State per shard is O(k).
+    With ``token_col`` set, one exemplar token per surviving key rides in
+    the state and the emitted rows, so consumers decode hashed keys
+    without any scan of the (unbounded) stream history.
     """
     # Coalesce null keys to -1 before sharding: pmod(null) yields a null
     # shard group whose key tuple would fail int() inside the state
     # function; -1 routes them to a real shard where mg_build_weighted
     # drops them as invalid, matching the batch path's skip semantics.
-    sharded = stream_df.select(
-        F.coalesce(F.col(key_col).cast("long"), F.lit(-1)).alias("key")
-    ).withColumn("shard", F.pmod(F.col("key"), F.lit(num_shards)))
+    cols = [F.coalesce(F.col(key_col).cast("long"), F.lit(-1)).alias("key")]
+    if token_col is not None:
+        cols.append(F.col(token_col).cast("string").alias("token"))
+    sharded = stream_df.select(*cols).withColumn(
+        "shard", F.pmod(F.col("key"), F.lit(num_shards))
+    )
 
     def update(
         shard_key: Tuple,
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        from mgspark.aggregate import _aligned_tokens, _update_exemplars
+
+        exemplars: dict[int, str] = {}
         if state.exists:
-            keys, counters, n, d = state.get
+            keys, counters, tokens, n, d = state.get
             mg = MGState(
                 k=k,
                 keys=np.asarray(keys, dtype=np.int64),
@@ -87,17 +103,29 @@ def mg_streaming_sketch(
                 n=int(n),
                 d=int(d),
             )
+            if tokens is not None:
+                exemplars = {
+                    int(key): str(tok)
+                    for key, tok in zip(keys, tokens)
+                    if tok is not None
+                }
         else:
             mg = MGState(k=k)
         for pdf in batches:
             batch_keys = pdf["key"].to_numpy(dtype=np.int64, na_value=-1)
             mg = mg_build_weighted(mg, batch_keys, np.ones(len(batch_keys), dtype=np.int64))
-        state.update((mg.keys.tolist(), mg.counters.tolist(), mg.n, mg.d))
+            if token_col is not None:
+                exemplars = _update_exemplars(
+                    exemplars, mg.keys, batch_keys, pdf["token"].to_numpy(object)
+                )
+        tokens_out = _aligned_tokens(exemplars, mg.keys) if token_col is not None else None
+        state.update((mg.keys.tolist(), mg.counters.tolist(), tokens_out, mg.n, mg.d))
         yield pd.DataFrame(
             {
                 "shard": [int(shard_key[0])],
                 "keys": [mg.keys.tolist()],
                 "counters": [mg.counters.tolist()],
+                "tokens": [tokens_out],
                 "n": [mg.n],
                 "d": [mg.d],
             }

@@ -259,6 +259,65 @@ def test_ivf_index_dir_roundtrip(spark, tmp_path):
     assert got == exact  # n_probe = n_centroids -> exhaustive, must match exact
 
 
+def test_ivf_cache_evicts_oldest_first(spark, monkeypatch):
+    """The session cache is FIFO: beyond the cap the OLDEST index is
+    evicted and unpersisted, never the newest (VERDICT r02 #5)."""
+    import numpy as np
+
+    import mgspark.pipeline.similarity as sim
+
+    rng = np.random.default_rng(5)
+    dfs = [
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in v / np.linalg.norm(v)])
+                for i, v in enumerate(rng.standard_normal((40, 8)))
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        for _ in range(3)
+    ]
+    monkeypatch.setattr(sim, "_IVF_CACHE_MAX", 2)
+    sim._IVF_CACHE.clear()
+    q = dfs[0].first()["embedding"]
+    indexes = []
+    for df in dfs:
+        sim.ann_ivf_topk(df, "embedding", "vec_id", q, 3, n_centroids=4).collect()
+        indexes.append(list(sim._IVF_CACHE.values())[-1])
+    assert len(sim._IVF_CACHE) == 2
+    cached = set(map(id, sim._IVF_CACHE.values()))
+    assert id(indexes[0]) not in cached, "oldest index must be evicted"
+    assert id(indexes[1]) in cached and id(indexes[2]) in cached
+    assert not indexes[0].indexed.is_cached, "evicted index must be unpersisted"
+    sim._IVF_CACHE.clear()
+
+
+def test_ivf_index_dir_param_mismatch_rebuilds(spark, tmp_path):
+    """Reopening an index_dir with different build params must rebuild,
+    not silently serve the stale layout."""
+    import json
+    import os
+
+    import numpy as np
+
+    from mgspark.pipeline.similarity import ivf_build
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((120, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_dir = str(tmp_path / "ivf_params")
+    ivf_build(df, "embedding", "vec_id", n_centroids=4, index_dir=idx_dir)
+    with open(os.path.join(idx_dir, "_centroids.json"), encoding="utf8") as f:
+        assert json.load(f)["params"]["n_centroids"] == 4
+    rebuilt = ivf_build(df, "embedding", "vec_id", n_centroids=8, index_dir=idx_dir)
+    assert len(rebuilt.centroids) == 8
+    with open(os.path.join(idx_dir, "_centroids.json"), encoding="utf8") as f:
+        assert json.load(f)["params"]["n_centroids"] == 8
+
+
 def test_spark_cli_table_source(spark, capsys):
     """`table:NAME` reads the sketch input from the session catalog."""
     from mgspark.cli import spark_sketch
