@@ -508,9 +508,15 @@ _ASSETS_PARQUET = os.path.join(
 )
 
 
-def _ensure_assets_fixture() -> str:
-    from mgspark.pipeline.multimodal import write_assets_parquet
+_BMP_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "bmp_assets.parquet"
+)
 
+
+def _ensure_assets_fixture() -> str:
+    from mgspark.pipeline.multimodal import write_assets_parquet, write_bmp_assets_parquet
+
+    write_bmp_assets_parquet(_BMP_PARQUET)
     return write_assets_parquet(_ASSETS_PARQUET)
 
 
@@ -557,6 +563,27 @@ def q_asset_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", F.posexplode("features").alias("bin", "cnt")
     ).select(
         "asset_id", F.col("bin").cast("long").alias("bin"), F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_decode_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: pure-numpy 24-bit BMP decode (header parse,
+    padding strip, bottom-up flip, BGR->RGB) over a binary image table;
+    emits per-image (width, height, pixel sum).  The DuckDB oracle
+    re-derives width/height from the header hex and the pixel sum as the
+    byte sum past the 54-byte header (fixture widths are multiples of 4,
+    so rows carry no padding bytes)."""
+    from mgspark.pipeline.multimodal import decode_image
+
+    assets = spark.read.parquet(_BMP_PARQUET)
+    dec = decode_image(assets)
+    return dec.select(
+        "asset_id",
+        "width",
+        "height",
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "px_sum"
+        ),
     )
 
 
@@ -735,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_meta": q_asset_meta,
         "asset_frame_samples": q_asset_frame_samples,
         "asset_byte_histogram": q_asset_byte_histogram,
+        "decode_image_pixel_stats": q_decode_image_pixel_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,
@@ -796,6 +824,24 @@ def oracle_sql() -> dict[str, str]:
             "grid AS (SELECT asset_id, unnest(range(16)) AS bin FROM hx) "
             "SELECT g.asset_id, g.bin::BIGINT AS bin, COALESCE(c.n, 0)::BIGINT AS cnt "
             "FROM grid g LEFT JOIN counts c ON g.asset_id = c.asset_id AND g.bin = c.bin"
+        ),
+        "decode_image_pixel_stats": (
+            f"WITH hx AS (SELECT asset_id, hex(payload) AS h "
+            f"FROM read_parquet('{_BMP_PARQUET}')), "
+            # width: int32 LE at byte offset 18 -> hex chars 37-44;
+            # height: offset 22 -> chars 45-52 (1-based substr positions)
+            "parsed AS (SELECT asset_id, "
+            "CAST(('0x' || substr(h,43,2) || substr(h,41,2) || substr(h,39,2) || substr(h,37,2)) AS BIGINT) AS width, "
+            "CAST(('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2) || substr(h,45,2)) AS BIGINT) AS height "
+            "FROM hx), "
+            # pixel data starts at byte 54 (hex char 109); no padding
+            # bytes because fixture widths are multiples of 4
+            "px AS (SELECT asset_id, "
+            "SUM(CAST(('0x' || substr(h, 109 + 2*u.i, 2)) AS BIGINT)) AS px_sum "
+            "FROM hx, LATERAL (SELECT unnest(range(0, (len(h) - 108) // 2)) AS i) u "
+            "GROUP BY asset_id) "
+            "SELECT p.asset_id, p.width, p.height, px.px_sum "
+            "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
         ),
         "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
         "exact_dup_groups_source": (

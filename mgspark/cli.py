@@ -13,6 +13,7 @@ the reference can run the same invocations against this package:
 plus a Spark job mode for distributed sketches over parquet tables:
 
     python -m mgspark spark <k> <eps> <delta> <parquet path> <column> [checkpoint dir]
+    python -m mgspark spark <k> <eps> 0 <universe size | auto> <parquet path> <column> [checkpoint dir]
 
 Stream files hold one integer per line (README.md:17); sketch files are
 JSON objects ``{"key": counter}`` (pmg.py:222-225).
@@ -42,7 +43,11 @@ Usage:
   Create a user-level (epsilon, 0)-private sketch:
     python -m mgspark userlevel <sketch size> <epsilon> 0 <user element count> <universe size> <stream file>
   Distributed sketch of a parquet or catalog-table column (Spark job):
-    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path | table:NAME> <column> [checkpoint dir]"""
+    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path | table:NAME> <column> [checkpoint dir]
+  Distributed sketch with (epsilon, 0)-privacy (universe: an integer for a
+  non-negative integral column, or `auto` to derive a dictionary universe
+  from the column's distinct values):
+    python -m mgspark spark <sketch size> <epsilon> 0 <universe size | auto> <parquet path | table:NAME> <column> [checkpoint dir]"""
 
 
 def _build_from_file(path: str, k: int) -> MGState:
@@ -133,14 +138,36 @@ def create_user_level_sketch(argv: list[str]) -> None:
 
 
 def spark_sketch(argv: list[str]) -> None:
+    """Distributed sketch + central DP release over a parquet/table column.
+
+    Pure DP (delta=0) mirrors the reference's finite-universe contract
+    (pmg.py:143-204): the mechanism needs keys in a meaningful ``[0, U)``
+    domain, so the hashed 2^62 key space is NOT a valid default (its
+    threshold ``ceil(-s*ln((a+1)k/U)/eps)`` is astronomically large and
+    every release would be silently empty).  Instead the universe is
+    either an explicit integer over a non-negative integral column, or
+    ``auto``: the column's distinct values are dictionary-encoded to
+    dense ids (like ``q_mg_pure_dp_doc_lang``), the universe is the
+    dictionary size (clamped above the sketch size — a larger universe
+    only raises the threshold, the privacy-safe direction), and released
+    keys decode back through the dictionary (fresh upgraded universe
+    keys print as ``u<id>``).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     from mgspark.aggregate import encode_tokens, mg_sketch  # noqa: PLC0415
     from mgspark.session import get_spark  # noqa: PLC0415
 
     k = int(argv[2])
     epsilon = float(argv[3])
     delta = float(argv[4])
-    path, column = argv[5], argv[6]
-    checkpoint = argv[7] if len(argv) > 7 else None
+    if delta > 0:
+        universe_arg = None
+        path, column = argv[5], argv[6]
+        checkpoint = argv[7] if len(argv) > 7 else None
+    else:
+        universe_arg, path, column = argv[5], argv[6], argv[7]
+        checkpoint = argv[8] if len(argv) > 8 else None
     spark = get_spark("mgspark-cli")
     # `table:NAME` reads from the session catalog (temp view, Hive, or an
     # Iceberg/Delta catalog when configured); a bare path reads parquet.
@@ -148,13 +175,44 @@ def spark_sketch(argv: list[str]) -> None:
         df = spark.read.table(path[len("table:"):])
     else:
         df = spark.read.parquet(path)
-    encoded = encode_tokens(df, column)
+
+    decode = None
+    if delta > 0:
+        encoded = encode_tokens(df, column)
+    elif universe_arg == "auto":
+        # Dictionary universe: dense ids [0, U) over the distinct values.
+        values = [
+            r[column]
+            for r in df.select(column).distinct().orderBy(column).collect()
+        ]
+        dictionary = {value: i for i, value in enumerate(values)}
+        inverse = {i: value for value, i in dictionary.items()}
+        universe_size = max(len(dictionary), k) + 1
+        mapping = F.create_map(
+            *[x for value, i in dictionary.items() for x in (F.lit(value), F.lit(i))]
+        )
+        encoded = df.select(mapping[F.col(column)].cast("long").alias("key"))
+        decode = lambda key: inverse.get(key, f"u{key}")  # noqa: E731
+    else:
+        universe_size = int(universe_arg)
+        dtype = dict(df.dtypes)[column]
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"pure DP with an explicit universe needs a non-negative "
+                f"integral column in [0, {universe_size}); column "
+                f"{column!r} is {dtype} — use `auto` to derive a "
+                "dictionary universe instead"
+            )
+        encoded = encode_tokens(df, column)
     state = mg_sketch(encoded, "key", k, checkpoint_dir=checkpoint)
     sketch = state.to_dict()
     if delta > 0:
         private = dp.privatize_merged(sketch, k, epsilon, delta)
     else:
-        private = dp.purely_privatize_merged(sketch, k, epsilon, 1 << 62)
+        private = dp.purely_privatize_merged(sketch, k, epsilon, universe_size)
+    if decode is not None:
+        sketch = {decode(key): counter for key, counter in sketch.items()}
+        private = {decode(key): counter for key, counter in private.items()}
     print("Sketch        :", sketch)
     print("N, d          :", state.n, state.d)
     print("Private sketch:", private)

@@ -341,15 +341,23 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
-    max_bucket: int = 64,
+    max_bucket: int = 64, n_chunks: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Recall guarantee: with 4 16-bit chunks, pigeonhole forces one
-    identical chunk for any pair at hamming <= 3 — so recall is complete
-    for ``max_hamming <= 3`` (up to the bucket cap).  For larger
-    ``max_hamming`` the chunk index is a best-effort candidate filter:
-    pairs differing in all four chunks are missed.
+    Recall guarantee (pigeonhole): the 64 fingerprint bits are split into
+    ``n_chunks`` disjoint chunks — default ``max_hamming + 1`` — so any
+    pair differing in <= max_hamming bits MUST agree on at least one
+    whole chunk and lands in a shared bucket.  Recall is therefore
+    complete at the query radius (up to the bucket cap), for any radius.
+
+    The trade-off is bucket granularity: more chunks means narrower
+    chunks (64 // n_chunks bits), i.e. coarser buckets with more members.
+    At ``max_hamming=8`` chunks are ~7 bits (128 bucket values per
+    chunk), fine up to ~10^4-10^5 docs per partition-disjoint corpus
+    slice; at web scale keep the radius small (3 -> 16-bit chunks) or
+    compose chunk-pair indexes (c choose 2 tables of ~14-bit keys give
+    the pigeonhole guarantee for c >= max_hamming + 2).
 
     Candidate generation groups by (chunk, chunk_value) and emits pairs
     only inside buckets of size <= ``max_bucket`` — a chunk value shared
@@ -359,6 +367,18 @@ def simhash_near_pairs(
 
     Output: (id_a, id_b, hamming int).
     """
+    if n_chunks is None:
+        n_chunks = min(max_hamming + 1, 64)
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: the "
+            "pigeonhole recall guarantee needs at least max_hamming+1 chunks"
+        )
+    # Split 64 bits into n_chunks contiguous disjoint chunks; the first
+    # (64 % n_chunks) chunks are one bit wider.
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     fps = simhash_fingerprints(df, text_col, id_col)
     chunks = fps.select(
         "id",
@@ -368,9 +388,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.shiftrightunsigned("simhash", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("ck"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The real codec libraries (Pillow, ffmpeg, torchaudio, ...) are not in
-this container, so the decode step is STUBBED: ``decode_image`` /
-``decode_audio`` raise ``NotImplementedError`` unless the optional
-dependency imports.  Everything Spark-side is real and tested —
-schemas, Arrow batch shape, partitioning, the mapInPandas signatures —
-against a deterministic synthetic container format (``MGB1``: magic +
-kind + width/height/duration header + payload) produced by
-``synth_assets``, whose header parse stands in for the codec.
+Everything Spark-side is real and tested — schemas, Arrow batch shape,
+partitioning, the mapInPandas signatures — against two deterministic
+asset tables: the synthetic ``MGB1`` container format (magic + kind +
+width/height/duration header + payload, ``synth_assets``) for the
+metadata/feature stages, and REAL uncompressed 24-bit BMP files
+(``write_bmp_assets_parquet``) for the decode stage, which
+``decode_image`` decodes codec-free in pure numpy.  Formats that need a
+codec library this container does not ship (PNG/JPEG/audio/video
+decode) raise ``NotImplementedError`` with the dependency named.
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ from pyspark.sql.types import (
 __all__ = [
     "synth_assets",
     "write_assets_parquet",
+    "synth_bmp_bytes",
+    "write_bmp_assets_parquet",
     "extract_asset_meta",
     "byte_histogram_features",
     "decode_image",
@@ -180,22 +183,128 @@ def byte_histogram_features(
     return df.select("asset_id", "payload").mapInPandas(featurize, _FEAT_SCHEMA)
 
 
-def decode_image(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Decode + resize images to pixel arrays.
+def synth_bmp_bytes(
+    width: int, height: int, rng: np.random.Generator
+) -> tuple[bytes, np.ndarray]:
+    """One uncompressed 24-bit bottom-up BMP with random pixels.
 
-    STUB: requires an image codec (Pillow) that this container does not
-    ship.  The Spark plumbing (signature, schema, batching) matches
-    ``byte_histogram_features``; swap the body for ``PIL.Image.open``
-    when the dependency exists.
+    Returns (file bytes, pixels) where ``pixels`` is the decoded truth:
+    (height, width, 3) uint8 in RGB order, top-down row order.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "decode_image needs Pillow; this environment has no image codec. "
-            "Use byte_histogram_features for the codec-free feature path."
-        ) from exc
-    raise NotImplementedError("real decode path reserved for codec-enabled builds")
+    pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    # BMP stores BGR, bottom row first.
+    rows[:, : width * 3] = pixels[::-1, :, ::-1].reshape(height, width * 3)
+    data = rows.tobytes()
+    file_size = 14 + 40 + len(data)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data, pixels
+
+
+def write_bmp_assets_parquet(path: str, n: int = 64, seed: int = 43) -> str:
+    """Deterministic real-BMP asset table (asset_id, payload) as one
+    parquet file — Spark-free, idempotent, atomic (like
+    :func:`write_assets_parquet`).  Widths are multiples of 4 so rows
+    carry no padding bytes: the DuckDB oracle can then recompute the
+    pixel sum as the byte sum past the 54-byte header."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for _ in range(n):
+        width = 4 * int(rng.integers(2, 9))  # 8..32, multiple of 4
+        height = int(rng.integers(4, 25))
+        blob, _ = synth_bmp_bytes(width, height, rng)
+        blobs.append(blob)
+    table = pa.table(
+        {
+            "asset_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixels", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Decode image payloads to pixel arrays — REAL for uncompressed
+    24-bit BMP (pure numpy: header parse, stride/padding removal,
+    bottom-up flip, BGR->RGB), since that container format needs no
+    codec library.  Output rows: (asset_id, width, height, pixels) with
+    ``pixels`` the flattened RGB values in top-down row-major order.
+
+    Other formats (PNG/JPEG/...) require a codec this container does not
+    ship: payloads that are not 24-bit uncompressed BMPs raise
+    ``NotImplementedError`` (swap in ``PIL.Image.open`` on codec-enabled
+    builds; the Spark plumbing — schema, batching, Arrow shape — is the
+    same either way).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, pixel_lists = [], [], [], []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(blob)
+                if b[:2] != b"BM":
+                    raise NotImplementedError(
+                        "decode_image: only uncompressed 24-bit BMP decodes "
+                        "codec-free; this payload needs an image codec "
+                        "(Pillow) absent from this container"
+                    )
+                offset = int.from_bytes(b[10:14], "little")
+                width = int.from_bytes(b[18:22], "little", signed=True)
+                height = int.from_bytes(b[22:26], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                compression = int.from_bytes(b[30:34], "little")
+                if bpp != 24 or compression != 0:
+                    raise NotImplementedError(
+                        f"decode_image: {bpp}-bpp/compression={compression} "
+                        "BMP needs a codec; only 24-bit uncompressed decodes"
+                    )
+                n_rows = abs(height)
+                stride = (width * 3 + 3) // 4 * 4
+                arr = np.frombuffer(b, np.uint8, count=stride * n_rows, offset=offset)
+                rows = arr.reshape(n_rows, stride)[:, : width * 3]
+                if height > 0:
+                    rows = rows[::-1]  # bottom-up -> top-down
+                rgb = rows.reshape(n_rows, width, 3)[:, :, ::-1]
+                ids.append(int(asset_id))
+                widths.append(width)
+                heights.append(n_rows)
+                pixel_lists.append(rgb.reshape(-1).astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": widths,
+                    "height": heights,
+                    "pixels": pixel_lists,
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(decode, _DECODE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -117,6 +117,44 @@ def test_simhash_near_pairs(spark, dup_fixture):
         assert r["hamming"] <= 3
 
 
+def test_simhash_full_recall_at_hamming_8(spark):
+    """Pigeonhole guarantee at the driver query's radius (VERDICT r02
+    #6): with n_chunks = max_hamming + 1 (default) EVERY pair at hamming
+    <= 8 must be found — the old fixed 4x16-bit index missed pairs
+    differing in all four chunks.  Ground truth is the all-pairs hamming
+    over the collected fingerprints."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, size=120).tolist()
+        rows.append((i, " ".join(words)))
+        if i < 20:
+            # perturbed copy: swap a few words -> small hamming distance
+            mutated = list(words)
+            for pos in rng.choice(len(words), size=3, replace=False):
+                mutated[pos] = vocab[int(rng.integers(len(vocab)))]
+            rows.append((1000 + i, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    # the fixture must exercise the regime the 4-chunk index missed
+    assert any(4 <= h <= 8 for h in expected.values()), expected
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_boilerplate_bucket_capped(spark):
     """1k documents sharing identical simhash chunks must not trigger a
     quadratic candidate join: the oversized bucket is dropped (VERDICT
@@ -293,10 +331,48 @@ def test_sample_frames(spark):
     assert frames.count() == expected
 
 
-def test_decode_image_is_clearly_stubbed(spark):
-    assets = synth_assets(spark, n=4)
-    with pytest.raises(NotImplementedError):
-        decode_image(assets)
+def test_decode_image_bmp_roundtrip(spark):
+    """decode_image really decodes: encode known pixels as 24-bit BMP
+    (incl. a padded-stride width and a top-down negative height), decode
+    through Spark, and require exact pixel equality."""
+    import numpy as np
+
+    from mgspark.pipeline.multimodal import synth_bmp_bytes
+
+    rng = np.random.default_rng(99)
+    truth = {}
+    rows = []
+    for asset_id, (w, h) in enumerate([(8, 5), (10, 7), (33, 4), (4, 4)]):
+        blob, pixels = synth_bmp_bytes(w, h, rng)
+        truth[asset_id] = pixels
+        rows.append((asset_id, bytearray(blob)))
+    # top-down variant: negative height in the header, rows not flipped
+    blob, pixels = synth_bmp_bytes(12, 6, rng)
+    td = bytearray(blob)
+    td[22:26] = (-6).to_bytes(4, "little", signed=True)
+    # stored rows are bottom-up of `pixels`; interpreting them top-down
+    # means the decoded truth is pixels flipped vertically
+    truth[100] = pixels[::-1]
+    rows.append((100, td))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_image(df).collect()}
+    assert set(got) == set(truth)
+    for asset_id, pixels in truth.items():
+        r = got[asset_id]
+        assert (r["width"], r["height"]) == (pixels.shape[1], pixels.shape[0])
+        assert r["pixels"] == pixels.reshape(-1).astype(int).tolist()
+
+
+def test_decode_image_non_bmp_raises(spark):
+    """Formats needing a codec stay an honest NotImplementedError."""
+    from py4j.protocol import Py4JJavaError
+
+    assets = synth_assets(spark, n=4)  # MGB1 payloads, not BMP
+    with pytest.raises((NotImplementedError, Py4JJavaError, Exception)) as err:
+        decode_image(assets).collect()
+    assert "NotImplementedError" in str(err.value) or isinstance(
+        err.value, NotImplementedError
+    )
 
 
 def test_curate_documents_pipeline(spark, docs_with_dups):

@@ -330,6 +330,48 @@ def test_spark_cli_table_source(spark, capsys):
     assert "Sketch        :" in out and "N, d          : 500" in out
 
 
+def test_spark_cli_pure_dp_auto_universe(spark, capsys):
+    """Pure-DP spark mode with `auto` derives a dictionary universe and
+    releases a NON-empty sketch whose keys decode to column values
+    (VERDICT r02 #2: the old 2^62 default made every release silently
+    empty).  eps=5, U=6, counts ~100 -> threshold 1, so suppression of
+    all keys has negligible probability."""
+    import ast
+
+    from mgspark.cli import spark_sketch
+
+    spark_sketch(
+        ["mgspark", "spark", "3", "5.0", "0",
+         "auto", "/root/testdata/sf0.001/documents.parquet", "lang"]
+    )
+    out = capsys.readouterr().out
+    private_line = [l for l in out.splitlines() if l.startswith("Private sketch:")][0]
+    private = ast.literal_eval(private_line.split(":", 1)[1].strip())
+    assert private, "pure-DP release must not be empty at these counts"
+    langs = {
+        r["lang"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("lang").distinct().collect()
+    }
+    for key in private:
+        assert key in langs or (isinstance(key, str) and key.startswith("u")), key
+
+
+def test_spark_cli_pure_dp_explicit_universe_rejects_strings(spark):
+    """An explicit integer universe over a hashed (string) column is a
+    semantic error — the hash domain breaks [0, U)."""
+    import pytest as _pytest
+
+    from mgspark.cli import spark_sketch
+
+    with _pytest.raises(ValueError, match="auto"):
+        spark_sketch(
+            ["mgspark", "spark", "3", "5.0", "0",
+             "100", "/root/testdata/sf0.001/documents.parquet", "lang"]
+        )
+
+
 def test_embedding_near_dup_zero_vector_not_released(spark):
     """Zero embeddings must not pass the cosine threshold via NaN (Spark
     orders NaN above every number)."""
