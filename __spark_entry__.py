@@ -219,6 +219,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
 
 
+def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of n-gram Jaccard: boilerplate grams shared by more
+    than max_doc_freq documents are dropped before the self-join (a gram
+    in D docs contributes D^2 join rows), giving exact Jaccard over the
+    rare-gram universe.  Still fully SQL-expressible -> hash oracle."""
+    from mgspark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.textstats import token_stats
 
@@ -382,6 +395,36 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3, method="exact")
 
 
+def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup, oracle-checked as an
+    invariant: on a clustered fixture (planted near-identical pairs,
+    cosine ~0.9998 — the sf embeddings are near-random so near-dup
+    recall needs planted structure) the multi-table sign-LSH bucketed
+    path must release a subset of the exact pairs (precision is exact by
+    construction) AND find all of them (recall 1; deterministic: seeded
+    hyperplanes).  DuckDB recomputes n_exact pairwise and pins the
+    flags."""
+    from mgspark.pipeline.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(_CLUSTERED_EMB_PARQUET)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.99, method="lsh"
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.99, method="exact"
+        ).collect()
+    }
+    return spark.createDataFrame(
+        [(len(exact), int(lsh <= exact), int(lsh == exact))],
+        "n_exact long, lsh_subset_exact long, lsh_recall_complete long",
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.similarity import ann_ivf_topk
 
@@ -512,11 +555,19 @@ _BMP_PARQUET = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".fixtures", "bmp_assets.parquet"
 )
 
+# Clustered embedding fixture for the LSH near-dup recall invariant (the
+# sf embeddings are near-random, so near-dup recall needs planted pairs).
+_CLUSTERED_EMB_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "embeddings_clustered.parquet"
+)
+
 
 def _ensure_assets_fixture() -> str:
     from mgspark.pipeline.multimodal import write_assets_parquet, write_bmp_assets_parquet
+    from mgspark.testgen import write_clustered_embeddings_parquet
 
     write_bmp_assets_parquet(_BMP_PARQUET)
+    write_clustered_embeddings_parquet(_CLUSTERED_EMB_PARQUET)
     return write_assets_parquet(_ASSETS_PARQUET)
 
 
@@ -746,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_count": q_dedup_exact_count,
         "exact_dup_groups_source": q_exact_dup_groups_source,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -758,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
         # multimodal (binary asset columns)
         "asset_meta": q_asset_meta,
         "asset_frame_samples": q_asset_frame_samples,
@@ -837,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
             # pixel data starts at byte 54 (hex char 109); no padding
             # bytes because fixture widths are multiples of 4
             "px AS (SELECT asset_id, "
-            "SUM(CAST(('0x' || substr(h, 109 + 2*u.i, 2)) AS BIGINT)) AS px_sum "
+            "SUM(CAST(('0x' || substr(h, 109 + 2*u.i, 2)) AS BIGINT))::BIGINT AS px_sum "
             "FROM hx, LATERAL (SELECT unnest(range(0, (len(h) - 108) // 2)) AS i) u "
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
@@ -862,6 +915,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8"
+        ),
+        "ngram_jaccard_pairs_capped": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "grams0 AS (SELECT DISTINCT doc_id, "
+            "  t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS gram "
+            "  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u), "
+            "rare AS (SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 8), "
+            "grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (gram)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni "
+            "  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8"
+        ),
+        "embedding_near_dup_lsh_recall": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{_CLUSTERED_EMB_PARQUET}')) "
+            "SELECT COUNT(*)::BIGINT AS n_exact, 1::BIGINT AS lsh_subset_exact, "
+            "1::BIGINT AS lsh_recall_complete "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
         ),
         "token_stats": (
             "SELECT doc_id AS id, "

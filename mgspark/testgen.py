@@ -16,7 +16,12 @@ import os
 import numpy as np
 import pandas as pd
 
-__all__ = ["repo_table_pandas", "write_repo_table", "VOCAB_SIZE"]
+__all__ = [
+    "repo_table_pandas",
+    "write_repo_table",
+    "write_clustered_embeddings_parquet",
+    "VOCAB_SIZE",
+]
 
 VOCAB_SIZE = 200
 
@@ -92,6 +97,59 @@ def repo_table_pandas(
             "content": contents,
         }
     )
+
+
+def write_clustered_embeddings_parquet(
+    path: str,
+    n_pairs: int = 40,
+    n_singles: int = 80,
+    dim: int = 32,
+    noise: float = 0.02,
+    seed: int = 42,
+) -> str:
+    """Deterministic CLUSTERED embedding fixture for near-dup recall
+    oracles: ``n_pairs`` base unit vectors each with one near-identical
+    copy (cosine ~0.9998 at the default noise), plus ``n_singles``
+    unrelated vectors.  The sf tables' embeddings are near-random (max
+    pairwise cosine ~0.5), so near-dup recall needs planted structure.
+    Spark-free (pyarrow), idempotent, atomic — safe at import time.
+
+    Ids: base i -> i, its copy -> 1000+i, singles -> 2000+j.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+
+    def unit(v: np.ndarray) -> np.ndarray:
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    ids, vecs = [], []
+    for i in range(n_pairs):
+        base = unit(rng.standard_normal(dim))
+        ids.append(i)
+        vecs.append(base)
+        ids.append(1000 + i)
+        vecs.append(unit(base + noise * rng.standard_normal(dim)))
+    for j in range(n_singles):
+        ids.append(2000 + j)
+        vecs.append(unit(rng.standard_normal(dim)))
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def write_repo_table(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -> str:
