@@ -238,6 +238,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (the pre-tokenization
+    granularity an LLM pipeline budgets by) — pure JVM regexp, oracled
+    with the identical pattern in DuckDB."""
+    from mgspark.pipeline.textstats import bpe_token_stats
+
+    return bpe_token_stats(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.textstats import quality_score
 
@@ -284,6 +293,18 @@ def _lang_id_oracle(source: str = "documents") -> str:
         "CASE WHEN cjk * 1.0 / n_chars > 0.05 THEN 'zh' "
         f"WHEN len(toks) = 0 OR {best} = 0 THEN 'und' "
         f"{whens} ELSE '{langs[-1]}' END AS lang_pred FROM s"
+    )
+
+
+def _bpe_oracle() -> str:
+    """Same regex constant on both sides, so the engines cannot drift."""
+    from mgspark.pipeline.textstats import BPE_TOKEN_PATTERN
+
+    return (
+        "SELECT doc_id AS id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens, "
+        f"len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens "
+        "FROM documents"
     )
 
 
@@ -638,6 +659,25 @@ def q_decode_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 16x16 in one pass over the BMP
+    bytes; the DuckDB oracle recomputes the resized pixel sum by indexing
+    the exact source bytes ((i*h)//16, (j*w)//16 per output pixel) off
+    the hex dump."""
+    from mgspark.pipeline.multimodal import resize_image
+
+    assets = spark.read.parquet(_BMP_PARQUET)
+    out = resize_image(assets, 16, 16)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "px_sum"
+        ),
+    )
+
+
 def q_asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-timestamp sampling for video assets
     (multimodal.sample_frames); deterministic, DuckDB-oracled."""
@@ -799,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -816,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_frame_samples": q_asset_frame_samples,
         "asset_byte_histogram": q_asset_byte_histogram,
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
+        "resize_image_pixel_stats": q_resize_image_pixel_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,
@@ -896,6 +938,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
         ),
+        "resize_image_pixel_stats": (
+            f"WITH hx AS (SELECT asset_id, hex(payload) AS h "
+            f"FROM read_parquet('{_BMP_PARQUET}')), "
+            "parsed AS (SELECT asset_id, h, "
+            "CAST(('0x' || substr(h,43,2) || substr(h,41,2) || substr(h,39,2) || substr(h,37,2)) AS BIGINT) AS width, "
+            "CAST(('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2) || substr(h,45,2)) AS BIGINT) AS height "
+            "FROM hx), "
+            # nearest-neighbor source byte for output (i, j), channel c:
+            # BMP rows are stored bottom-up with stride = width*3 (no
+            # padding in the fixture); byte offset 54 + row*stride + col*3 + c
+            "px AS (SELECT asset_id, "
+            "SUM(CAST(('0x' || substr(h, 2*(54 + (height-1 - (ui.i*height)//16)*width*3 "
+            "+ ((uj.j*width)//16)*3 + uc.c) + 1, 2)) AS BIGINT))::BIGINT AS px_sum "
+            "FROM parsed, "
+            "LATERAL (SELECT unnest(range(16)) AS i) ui, "
+            "LATERAL (SELECT unnest(range(16)) AS j) uj, "
+            "LATERAL (SELECT unnest(range(3)) AS c) uc "
+            "GROUP BY asset_id) "
+            "SELECT p.asset_id, 16::BIGINT AS width, 16::BIGINT AS height, px.px_sum "
+            "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
         "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
         "exact_dup_groups_source": (
             "SELECT sha256(source) AS content_sha256, COUNT(*) AS dup_count, "
@@ -945,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
+        "bpe_token_stats": _bpe_oracle(),
         "quality_score": (
             "WITH f AS (SELECT doc_id, "
             "  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "

@@ -39,6 +39,7 @@ __all__ = [
     "extract_asset_meta",
     "byte_histogram_features",
     "decode_image",
+    "resize_image",
     "sample_frames",
 ]
 
@@ -267,33 +268,10 @@ def decode_image(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, widths, heights, pixel_lists = [], [], [], []
             for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
-                b = bytes(blob)
-                if b[:2] != b"BM":
-                    raise NotImplementedError(
-                        "decode_image: only uncompressed 24-bit BMP decodes "
-                        "codec-free; this payload needs an image codec "
-                        "(Pillow) absent from this container"
-                    )
-                offset = int.from_bytes(b[10:14], "little")
-                width = int.from_bytes(b[18:22], "little", signed=True)
-                height = int.from_bytes(b[22:26], "little", signed=True)
-                bpp = int.from_bytes(b[28:30], "little")
-                compression = int.from_bytes(b[30:34], "little")
-                if bpp != 24 or compression != 0:
-                    raise NotImplementedError(
-                        f"decode_image: {bpp}-bpp/compression={compression} "
-                        "BMP needs a codec; only 24-bit uncompressed decodes"
-                    )
-                n_rows = abs(height)
-                stride = (width * 3 + 3) // 4 * 4
-                arr = np.frombuffer(b, np.uint8, count=stride * n_rows, offset=offset)
-                rows = arr.reshape(n_rows, stride)[:, : width * 3]
-                if height > 0:
-                    rows = rows[::-1]  # bottom-up -> top-down
-                rgb = rows.reshape(n_rows, width, 3)[:, :, ::-1]
+                rgb = _decode_bmp(bytes(blob))
                 ids.append(int(asset_id))
-                widths.append(width)
-                heights.append(n_rows)
+                widths.append(rgb.shape[1])
+                heights.append(rgb.shape[0])
                 pixel_lists.append(rgb.reshape(-1).astype(np.int64).tolist())
             yield pd.DataFrame(
                 {
@@ -305,6 +283,68 @@ def decode_image(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(decode, _DECODE_SCHEMA)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (height, width, 3) uint8 RGB,
+    top-down row order.  Raises NotImplementedError for payloads that
+    would need a codec library."""
+    if b[:2] != b"BM":
+        raise NotImplementedError(
+            "decode_image: only uncompressed 24-bit BMP decodes codec-free; "
+            "this payload needs an image codec (Pillow) absent from this "
+            "container"
+        )
+    offset = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"decode_image: {bpp}-bpp/compression={compression} BMP needs a "
+            "codec; only 24-bit uncompressed decodes"
+        )
+    n_rows = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    arr = np.frombuffer(b, np.uint8, count=stride * n_rows, offset=offset)
+    rows = arr.reshape(n_rows, stride)[:, : width * 3]
+    if height > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    return rows.reshape(n_rows, width, 3)[:, :, ::-1]
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_h, out_w) in one pass
+    over the payload bytes — the resize stage of a media pipeline, real
+    (pure numpy) for BMP payloads.  Source pixel for output (i, j) is
+    (floor(i*h/out_h), floor(j*w/out_w)) — exact integer math, so the
+    result is deterministic and cross-engine oracle-able.  Output rows:
+    (asset_id, width, height, pixels), RGB top-down row-major.
+    """
+    schema = _DECODE_SCHEMA
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixel_lists = [], []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
+                rgb = _decode_bmp(bytes(blob))
+                h, w = rgb.shape[:2]
+                rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = rgb[rows[:, None], cols[None, :]]
+                ids.append(int(asset_id))
+                pixel_lists.append(resized.reshape(-1).astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "pixels": pixel_lists,
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(resize, schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-__all__ = ["token_stats", "quality_score", "quality_exprs", "lang_id", "lang_pred_expr", "fingerprint"]
+__all__ = [
+    "token_stats",
+    "bpe_token_stats",
+    "BPE_TOKEN_PATTERN",
+    "quality_score",
+    "quality_exprs",
+    "lang_id",
+    "lang_pred_expr",
+    "fingerprint",
+]
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -30,6 +39,30 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "long"
         ).alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+# BPE-ish tokenizer regex (GPT-2-style, simplified): letter runs, single
+# digits (BPE tokenizers split numbers), punctuation runs.  Explicit
+# whitespace class — Java regex \s and RE2 \s disagree on \x0B, and the
+# pattern must evaluate identically in Spark and the DuckDB oracle.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace token count next to a
+    BPE-ish regex token count — the pre-tokenization granularity an LLM
+    pipeline budgets by.  Pure JVM ``regexp_extract_all`` (codegen), so
+    it is SQL-oracle-able; n_bpe >= n_ws always (the regex splits inside
+    whitespace tokens, never across them)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 

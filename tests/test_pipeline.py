@@ -363,6 +363,54 @@ def test_decode_image_bmp_roundtrip(spark):
         assert r["pixels"] == pixels.reshape(-1).astype(int).tolist()
 
 
+def test_resize_image_nearest_neighbor_truth(spark):
+    """resize_image must equal the numpy nearest-neighbor ground truth
+    (exact integer index math) on known pixels, both down- and up-scale."""
+    import numpy as np
+
+    from mgspark.pipeline.multimodal import resize_image, synth_bmp_bytes
+
+    rng = np.random.default_rng(17)
+    truth = {}
+    rows = []
+    for asset_id, (w, h) in enumerate([(8, 12), (32, 4), (4, 4)]):
+        blob, pixels = synth_bmp_bytes(w, h, rng)
+        truth[asset_id] = pixels
+        rows.append((asset_id, bytearray(blob)))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out_w, out_h = 6, 6
+    got = {r["asset_id"]: r for r in resize_image(df, out_w, out_h).collect()}
+    for asset_id, pixels in truth.items():
+        h, w = pixels.shape[:2]
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        expected = pixels[ri[:, None], ci[None, :]].reshape(-1).astype(int).tolist()
+        r = got[asset_id]
+        assert (r["width"], r["height"]) == (out_w, out_h)
+        assert r["pixels"] == expected
+
+
+def test_bpe_token_stats_properties(spark):
+    """BPE-ish counts: >= whitespace counts, splits digits and
+    punctuation runs the way the regex promises."""
+    from mgspark.pipeline.textstats import bpe_token_stats
+
+    rows = [
+        (0, "hello world"),          # 2 ws, 2 bpe
+        (1, "hello, world!!"),       # 2 ws, 4 bpe: hello , world !!
+        (2, "abc123 x"),             # 2 ws, 5 bpe: abc 1 2 3 x
+        (3, ""),                     # 0 / 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in bpe_token_stats(df, "text", "doc_id").collect()}
+    assert (got[0]["n_ws_tokens"], got[0]["n_bpe_tokens"]) == (2, 2)
+    assert (got[1]["n_ws_tokens"], got[1]["n_bpe_tokens"]) == (2, 4)
+    assert (got[2]["n_ws_tokens"], got[2]["n_bpe_tokens"]) == (2, 5)
+    assert (got[3]["n_ws_tokens"], got[3]["n_bpe_tokens"]) == (0, 0)
+    for r in got.values():
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
+
+
 def test_decode_image_non_bmp_raises(spark):
     """Formats needing a codec stay an honest NotImplementedError."""
     from py4j.protocol import Py4JJavaError
