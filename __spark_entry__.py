@@ -509,6 +509,36 @@ def q_streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q_streaming_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on sha256(text) over
+    the documents file stream (state = one hash per distinct doc), append
+    mode into a memory sink; the kept-row count must equal the batch
+    COUNT(DISTINCT text) -> oracle."""
+    from mgspark.streaming import streaming_dedup_exact
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    kept = streaming_dedup_exact(stream.select("doc_id", "text"), "text")
+    name = _run_stream_to_memory(kept.select("doc_id"), "dedup_stream", "append")
+    return spark.table(name).agg(F.count("*").cast("long").alias("kept"))
+
+
+def q_pcm_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the binary asset payloads treated
+    as unsigned 8-bit PCM (codec-free, REAL): exact integer sample
+    count / amplitude sum / energy / zero crossings, each recomputed by
+    DuckDB byte-by-byte off the hex dump."""
+    from mgspark.pipeline.multimodal import pcm_waveform_stats
+
+    assets = spark.read.parquet(_ASSETS_PARQUET)
+    return pcm_waveform_stats(assets)
+
+
 def q_streaming_mg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming MG (applyInPandasWithState, sharded O(k) state)
     over the events stream; shard sketches merged driver-side and decoded
@@ -858,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_byte_histogram": q_asset_byte_histogram,
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
+        "pcm_waveform_stats": q_pcm_waveform_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         "hll_distinct_user_id": q_hll_distinct_user_id,
@@ -876,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (bounded availableNow runs)
         "streaming_windowed_event_counts": q_streaming_windowed_event_counts,
         "streaming_mg_event_type": q_streaming_mg_event_type,
+        "streaming_dedup_exact_count": q_streaming_dedup_exact_count,
     }
 
 
@@ -1056,6 +1088,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "streaming_mg_event_type": _mg_topk_oracle("events", "event_type"),
+        "streaming_dedup_exact_count": (
+            "SELECT COUNT(DISTINCT text)::BIGINT AS kept FROM documents"
+        ),
+        "pcm_waveform_stats": (
+            f"WITH hx AS (SELECT asset_id, substr(hex(payload), 27) AS h "
+            f"FROM read_parquet('{_ASSETS_PARQUET}')), "
+            # one row per PCM sample byte (payload past the 13-byte header)
+            "b AS (SELECT asset_id, u.i AS i, "
+            "CAST(('0x' || substr(h, 2*u.i - 1, 2)) AS BIGINT) AS v "
+            "FROM hx, LATERAL (SELECT unnest(range(1, len(h) // 2 + 1)) AS i) u), "
+            "agg AS (SELECT asset_id, COUNT(*)::BIGINT AS n_samples, "
+            "SUM(v)::BIGINT AS amp_sum, SUM(v*v)::BIGINT AS amp_sq_sum "
+            "FROM b GROUP BY asset_id), "
+            "zc AS (SELECT a.asset_id, "
+            "SUM(CASE WHEN (a.v < 128) <> (c.v < 128) THEN 1 ELSE 0 END)::BIGINT "
+            "AS zero_crossings "
+            "FROM b a JOIN b c ON a.asset_id = c.asset_id AND c.i = a.i + 1 "
+            "GROUP BY a.asset_id) "
+            "SELECT hx.asset_id, COALESCE(agg.n_samples, 0)::BIGINT AS n_samples, "
+            "COALESCE(agg.amp_sum, 0)::BIGINT AS amp_sum, "
+            "COALESCE(agg.amp_sq_sum, 0)::BIGINT AS amp_sq_sum, "
+            "COALESCE(zc.zero_crossings, 0)::BIGINT AS zero_crossings "
+            "FROM hx LEFT JOIN agg USING (asset_id) LEFT JOIN zc USING (asset_id)"
+        ),
         "minhash_est_vs_true_jaccard": (
             "SELECT 0::BIGINT AS violations, 1::BIGINT AS found_pairs"
         ),

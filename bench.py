@@ -158,6 +158,7 @@ HEADLINE_QUERIES = [
     "lang_id",
     "asset_meta",
     "decode_image_pixel_stats",
+    "pcm_waveform_stats",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
 ]

@@ -470,13 +470,16 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_doc_freq is not None:
-        rare = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("_df"))
+        from pyspark.sql import Window
+
+        # Window count over gram instead of groupBy+semi-join: one
+        # exchange on gram (which the downstream self-join reuses — same
+        # partitioning key) instead of two.
+        grams = (
+            grams.withColumn("_df", F.count("*").over(Window.partitionBy("gram")))
             .where(F.col("_df") <= max_doc_freq)
-            .select("gram")
+            .drop("_df")
         )
-        grams = grams.join(rare, "gram", "leftsemi")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     g1 = grams.select(F.col("id").alias("id_a"), "gram")
     g2 = grams.select(F.col("id").alias("id_b"), "gram")

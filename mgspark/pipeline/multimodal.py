@@ -40,6 +40,7 @@ __all__ = [
     "byte_histogram_features",
     "decode_image",
     "resize_image",
+    "pcm_waveform_stats",
     "sample_frames",
 ]
 
@@ -345,6 +346,56 @@ def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(resize, schema)
+
+
+_PCM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("amp_sum", LongType(), False),
+        StructField("amp_sq_sum", LongType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def pcm_waveform_stats(df: DataFrame, header_bytes: int = 13) -> DataFrame:
+    """Audio feature extraction, REAL: interpret the payload past the
+    container header as unsigned 8-bit PCM samples (no codec needed) and
+    emit exact integer waveform features — sample count, amplitude sum,
+    squared-amplitude sum (energy), and zero crossings around the u8
+    midline 128.  Integer outputs keep the cross-engine oracle free of
+    float rounding ties; mean/RMS are one driver-side division away.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, sums, sqs, zcs = [], [], [], [], []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(blob), np.uint8, offset=header_bytes)
+                ids.append(int(asset_id))
+                ns.append(len(samples))
+                if len(samples) == 0:
+                    sums.append(0)
+                    sqs.append(0)
+                    zcs.append(0)
+                    continue
+                s64 = samples.astype(np.int64)
+                sums.append(int(s64.sum()))
+                sqs.append(int((s64 * s64).sum()))
+                below = samples < 128
+                zcs.append(int(np.count_nonzero(below[1:] != below[:-1])))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "n_samples": ns,
+                    "amp_sum": sums,
+                    "amp_sq_sum": sqs,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(stats, _PCM_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

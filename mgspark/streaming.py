@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 
 from mgspark.kernel import MGState, mg_build_weighted
 
-__all__ = ["mg_streaming_sketch", "windowed_token_counts"]
+__all__ = ["mg_streaming_sketch", "windowed_token_counts", "streaming_dedup_exact"]
 
 STREAM_OUTPUT_SCHEMA = StructType(
     [
@@ -138,6 +138,26 @@ def mg_streaming_sketch(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame, content_col: str, watermark: tuple[str, str] | None = None
+) -> DataFrame:
+    """Exact streaming deduplication: keep the first arrival per distinct
+    content value, keyed by its sha256 (state stores one 64-char hash per
+    distinct value, never the content).
+
+    For unbounded streams pass ``watermark=(ts_col, delay)`` so
+    ``dropDuplicatesWithinWatermark`` bounds the state store to the
+    watermark horizon — the 100 TB/day configuration; without it state
+    grows with the distinct-content count (fine for bounded or
+    daily-restarted jobs).
+    """
+    hashed = stream_df.withColumn("_h", F.sha2(F.col(content_col), 256))
+    if watermark is not None:
+        ts_col, delay = watermark
+        return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_h"])
+    return hashed.dropDuplicates(["_h"])
 
 
 def windowed_token_counts(

@@ -411,6 +411,39 @@ def test_bpe_token_stats_properties(spark):
         assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
 
 
+def test_pcm_waveform_stats_truth(spark):
+    """PCM features must equal the numpy ground truth, including the
+    empty-payload and single-sample edge cases."""
+    import numpy as np
+
+    from mgspark.pipeline.multimodal import pcm_waveform_stats
+
+    header = b"\x00" * 13
+    payloads = {
+        0: np.array([0, 255, 0, 255], dtype=np.uint8),      # 3 crossings
+        1: np.array([127, 128, 127], dtype=np.uint8),       # 2 crossings
+        2: np.array([], dtype=np.uint8),                    # empty
+        3: np.array([200], dtype=np.uint8),                 # single sample
+        4: np.arange(256, dtype=np.uint8),                  # 1 crossing
+    }
+    rows = [(i, bytearray(header + p.tobytes())) for i, p in payloads.items()]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in pcm_waveform_stats(df).collect()}
+    for i, p in payloads.items():
+        s = p.astype(np.int64)
+        below = p < 128
+        expected = (
+            len(p),
+            int(s.sum()),
+            int((s * s).sum()),
+            int(np.count_nonzero(below[1:] != below[:-1])) if len(p) else 0,
+        )
+        r = got[i]
+        assert (
+            r["n_samples"], r["amp_sum"], r["amp_sq_sum"], r["zero_crossings"]
+        ) == expected, i
+
+
 def test_decode_image_non_bmp_raises(spark):
     """Formats needing a codec stay an honest NotImplementedError."""
     from py4j.protocol import Py4JJavaError

@@ -68,6 +68,42 @@ def test_mg_streaming_sketch_availablenow(spark, tmp_path):
             assert true - cap <= est <= true
 
 
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicates state must span micro-batches: a content value
+    arriving again in a later file is suppressed."""
+    import pandas as pd
+
+    from mgspark.streaming import streaming_dedup_exact
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": ["aa", "bb", "aa"]}).to_parquet(
+        os.path.join(str(src), "f0.parquet"), index=False
+    )
+    pd.DataFrame({"doc_id": [3, 4], "text": ["bb", "cc"]}).to_parquet(
+        os.path.join(str(src), "f1.parquet"), index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    kept = streaming_dedup_exact(stream, "text")
+    query = (
+        kept.select("doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["aa", "bb", "cc"]
+
+
 def test_windowed_token_counts(spark, tmp_path):
     import pandas as pd
 
