@@ -348,6 +348,42 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
 
 
+def q_simhash_recall_vs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable invariant of the SimHash index: with the
+    boilerplate bucket cap disabled, the pigeonhole-chunked candidate
+    pipeline must release EXACTLY the pairs at hamming <= max_hamming —
+    ground truth computed distributedly as the all-pairs hamming over
+    the fingerprints (chunking guarantees completeness, exact hamming
+    verification guarantees precision).  The production query
+    (`simhash_near_pairs`) keeps the cap, which deliberately trades
+    recall inside oversized boilerplate buckets for boundedness — this
+    invariant isolates the index's correctness from that knob.  DuckDB
+    pins the doc count and the equality flags."""
+    from mgspark.pipeline.dedup import simhash_fingerprints, simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 8)
+        .select("id_a", "id_b")
+    )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=8, max_bucket=1 << 30
+        ).collect()
+    }
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(got <= true_pairs), int(got == true_pairs))],
+        "n_docs long, subset_ok long, complete_ok long",
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.dedup import minhash_dedup_pairs
 
@@ -875,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_est_vs_true_jaccard": q_minhash_est_vs_true_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1114,6 +1151,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_est_vs_true_jaccard": (
             "SELECT 0::BIGINT AS violations, 1::BIGINT AS found_pairs"
+        ),
+        "simhash_recall_vs_allpairs": (
+            "SELECT COUNT(*)::BIGINT AS n_docs, 1::BIGINT AS subset_ok, "
+            "1::BIGINT AS complete_ok FROM documents"
         ),
         "cosine_topk": (
             "SELECT vec_id AS id, ROUND(list_cosine_similarity("
