@@ -359,10 +359,14 @@ def q_simhash_recall_vs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall inside oversized boilerplate buckets for boundedness — this
     invariant isolates the index's correctness from that knob.  DuckDB
     pins the doc count and the equality flags."""
+    from mgspark.cacheutil import transient_persist
     from mgspark.pipeline.dedup import simhash_fingerprints, simhash_near_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(docs, "text", "doc_id")
+    # Persisted: the self-join reads it from both sides (the established
+    # multi-consumer pattern, cf. minhash_dedup_pairs).
+    fps = transient_persist(simhash_fingerprints(docs, "text", "doc_id"))
+    fps.count()
     a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     truth = (
@@ -378,9 +382,18 @@ def q_simhash_recall_vs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     n_docs = docs.count()
+    # found_pairs pins non-vacuity: an upstream regression that empties
+    # the pipeline cannot pass on two empty sets.
     return spark.createDataFrame(
-        [(int(n_docs), int(got <= true_pairs), int(got == true_pairs))],
-        "n_docs long, subset_ok long, complete_ok long",
+        [
+            (
+                int(n_docs),
+                int(len(true_pairs) > 0),
+                int(got <= true_pairs),
+                int(got == true_pairs),
+            )
+        ],
+        "n_docs long, found_pairs long, subset_ok long, complete_ok long",
     )
 
 
@@ -1153,8 +1166,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0::BIGINT AS violations, 1::BIGINT AS found_pairs"
         ),
         "simhash_recall_vs_allpairs": (
-            "SELECT COUNT(*)::BIGINT AS n_docs, 1::BIGINT AS subset_ok, "
-            "1::BIGINT AS complete_ok FROM documents"
+            "SELECT COUNT(*)::BIGINT AS n_docs, 1::BIGINT AS found_pairs, "
+            "1::BIGINT AS subset_ok, 1::BIGINT AS complete_ok FROM documents"
         ),
         "cosine_topk": (
             "SELECT vec_id AS id, ROUND(list_cosine_similarity("
