@@ -853,24 +853,16 @@ def q_mg_user_level_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mg_pure_dp_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure epsilon-DP release with a frozen dictionary universe
     (random -> rows-only).  Universe = distinct token dictionary size,
-    keys dictionary-encoded so the pure mechanism's [0, U) domain holds."""
+    keys dictionary-encoded (broadcast-join helper shared with the CLI's
+    pure mode) so the pure mechanism's [0, U) domain holds."""
     from mgspark import dp
-    from mgspark.aggregate import mg_sketch
+    from mgspark.aggregate import dictionary_encode, mg_sketch
 
     docs = _read(spark, sf_dir, "documents")
-    # dictionary-encode langs to dense ids [0, U)
-    dictionary = {
-        r["lang"]: i
-        for i, r in enumerate(docs.select("lang").distinct().orderBy("lang").collect())
-    }
-    inverse = {i: lang for lang, i in dictionary.items()}
-    mapping = F.create_map(
-        *[x for lang, i in dictionary.items() for x in (F.lit(lang), F.lit(i))]
-    )
-    encoded = docs.select(mapping[F.col("lang")].cast("long").alias("key"))
-    state = mg_sketch(encoded, "key", k=3)
+    encoded, inverse, dict_size = dictionary_encode(docs, "lang")
+    state = mg_sketch(encoded.select("key"), "key", k=3)
     released = dp.purely_privatize_merged(
-        state.to_dict(), 3, epsilon=5.0, universe_size=len(dictionary) + 1
+        state.to_dict(), 3, epsilon=5.0, universe_size=max(dict_size, 3) + 1
     )
     rows = [(inverse.get(key, f"u{key}"), int(cnt)) for key, cnt in released.items()]
     return spark.createDataFrame(rows, "token string, est long")

@@ -55,6 +55,7 @@ __all__ = [
     "mg_topk_grouped",
     "encode_tokens",
     "decode_keys",
+    "dictionary_encode",
     "mg_topk",
 ]
 
@@ -144,6 +145,53 @@ def decode_keys(tokens_df: DataFrame, col: str, keys: list[int], key_col: str = 
         .collect()
     )
     return {int(row[key_col]): row["_token"] for row in pairs}
+
+
+def dictionary_encode(
+    df: DataFrame, col: str, max_distinct: int = 100_000
+) -> tuple[DataFrame, dict[int, object], int]:
+    """Dense dictionary encoding onto ``[0, U)`` for the pure-DP
+    finite-universe contract (pmg.py:143-204 needs keys in a meaningful
+    bounded domain; the xxhash64 space is not one).
+
+    Returns ``(encoded df with a long 'key' column, inverse {id: value},
+    U = dictionary size)``.  Null values are skipped (consistent with the
+    build kernel's invalid-key semantics).  The distinct values ARE the
+    universe, so they must materialize on the driver; above
+    ``max_distinct`` this raises — supply an explicit integral universe
+    instead of a dictionary at that cardinality.  The encoding itself is
+    a broadcast join (O(distinct) rows shipped once), never a
+    ``create_map`` literal whose codegen blows up past a few thousand
+    entries.
+    """
+    values = [
+        r[0]
+        for r in df.select(col)
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .orderBy(col)
+        .limit(max_distinct + 1)
+        .collect()
+    ]
+    if len(values) > max_distinct:
+        raise ValueError(
+            f"dictionary_encode: column {col!r} has more than "
+            f"{max_distinct} distinct values — a driver-side dictionary "
+            "universe does not scale there; use an explicit integral "
+            "universe instead"
+        )
+    spark = df.sparkSession
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    dict_schema = _ST(
+        [_SF(col, df.schema[col].dataType, True), _SF("key", LongType(), False)]
+    )
+    dict_df = spark.createDataFrame(
+        [(value, i) for i, value in enumerate(values)], dict_schema
+    )
+    encoded = df.join(F.broadcast(dict_df), col, "inner")
+    return encoded, {i: value for i, value in enumerate(values)}, len(values)
 
 
 def _update_exemplars(

@@ -180,18 +180,16 @@ def spark_sketch(argv: list[str]) -> None:
     if delta > 0:
         encoded = encode_tokens(df, column)
     elif universe_arg == "auto":
-        # Dictionary universe: dense ids [0, U) over the distinct values.
-        values = [
-            r[column]
-            for r in df.select(column).distinct().orderBy(column).collect()
-        ]
-        dictionary = {value: i for i, value in enumerate(values)}
-        inverse = {i: value for value, i in dictionary.items()}
-        universe_size = max(len(dictionary), k) + 1
-        mapping = F.create_map(
-            *[x for value, i in dictionary.items() for x in (F.lit(value), F.lit(i))]
-        )
-        encoded = df.select(mapping[F.col(column)].cast("long").alias("key"))
+        # Dictionary universe: dense ids [0, U) over the distinct values
+        # (nulls skipped, broadcast-join encoding — shared helper with
+        # the driver contract's pure-DP query).
+        from mgspark.aggregate import dictionary_encode  # noqa: PLC0415
+
+        encoded, inverse, dict_size = dictionary_encode(df, column)
+        encoded = encoded.select("key")
+        # A larger universe only raises the release threshold — the
+        # privacy-safe direction — so clamp above the sketch size.
+        universe_size = max(dict_size, k) + 1
         decode = lambda key: inverse.get(key, f"u{key}")  # noqa: E731
     else:
         universe_size = int(universe_arg)
@@ -202,6 +200,21 @@ def spark_sketch(argv: list[str]) -> None:
                 f"integral column in [0, {universe_size}); column "
                 f"{column!r} is {dtype} — use `auto` to derive a "
                 "dictionary universe instead"
+            )
+        # The mechanism's [0, U) domain must actually hold — out-of-range
+        # keys silently void the epsilon-DP guarantee (the threshold is
+        # computed for a universe the data does not live in).
+        bounds = df.agg(
+            F.min(column).alias("lo"), F.max(column).alias("hi")
+        ).first()
+        if bounds["lo"] is not None and (
+            int(bounds["lo"]) < 0 or int(bounds["hi"]) >= universe_size
+        ):
+            raise ValueError(
+                f"column {column!r} has values in "
+                f"[{bounds['lo']}, {bounds['hi']}] outside the declared "
+                f"universe [0, {universe_size}); pass a correct universe "
+                "or use `auto`"
             )
         encoded = encode_tokens(df, column)
     state = mg_sketch(encoded, "key", k, checkpoint_dir=checkpoint)

@@ -339,6 +339,24 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return projected.mapInPandas(compute, schema)
 
 
+def _chunk_exprs(n_chunks: int) -> list:
+    """Columns extracting ``n_chunks`` contiguous disjoint chunks of the
+    64-bit ``simhash`` column; the first (64 % n_chunks) chunks are one
+    bit wider."""
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    # width 64 (n_chunks=1): (1 << 64) - 1 overflows a JVM long; the
+    # all-ones mask is just -1 in two's complement.
+    masks = [-1 if w >= 64 else (1 << w) - 1 for w in widths]
+    return [
+        F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(F.lit(masks[i]))
+        for i in range(n_chunks)
+    ]
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
     max_bucket: int = 64, n_chunks: int | None = None,
@@ -346,57 +364,75 @@ def simhash_near_pairs(
     """Pairs with SimHash hamming distance <= max_hamming.
 
     Recall guarantee (pigeonhole): the 64 fingerprint bits are split into
-    ``n_chunks`` disjoint chunks — default ``max_hamming + 1`` — so any
-    pair differing in <= max_hamming bits MUST agree on at least one
-    whole chunk and lands in a shared bucket.  Recall is therefore
-    complete at the query radius (up to the bucket cap), for any radius.
+    ``n_chunks`` disjoint chunks — default ``max_hamming + 1``.  A pair
+    differing in <= max_hamming bits leaves at least ``n_chunks -
+    max_hamming`` chunks identical, so:
 
-    The trade-off is bucket granularity: more chunks means narrower
-    chunks (64 // n_chunks bits), i.e. coarser buckets with more members.
-    At ``max_hamming=8`` chunks are ~7 bits (128 bucket values per
-    chunk), fine up to ~10^4-10^5 docs per partition-disjoint corpus
-    slice; at web scale keep the radius small (3 -> 16-bit chunks) or
-    compose chunk-pair indexes (c choose 2 tables of ~14-bit keys give
-    the pigeonhole guarantee for c >= max_hamming + 2).
+    * single-chunk index (``n_chunks = max_hamming + 1``, chunks >= 12
+      bits): the pair shares >= 1 whole chunk — used while chunks stay
+      wide enough for fine-grained buckets;
+    * chunk-PAIR index (``n_chunks = max_hamming + 2``, auto-selected
+      when single chunks would drop below 12 bits, i.e. max_hamming >=
+      5): the pair shares >= 2 chunks, hence at least one of the
+      C(n_chunks, 2) chunk pairs — bucket keys are two chunks wide
+      (~12-14 bits), so bucket occupancy stays near zero on random
+      corpora of any size instead of collapsing into the cap (the
+      Manku/Jain/Sarma multi-index construction).
 
-    Candidate generation groups by (chunk, chunk_value) and emits pairs
-    only inside buckets of size <= ``max_bucket`` — a chunk value shared
-    by many documents (boilerplate) would otherwise make the old
-    self-join quadratic.  Oversized buckets are dropped, like the MinHash
-    path; byte-identical boilerplate belongs to :func:`dedup_exact`.
+    Either way recall is complete at the query radius up to the bucket
+    cap: buckets larger than ``max_bucket`` are dropped (a chunk value
+    shared by many documents — boilerplate — would otherwise make the
+    candidate join quadratic); byte-identical boilerplate belongs to
+    :func:`dedup_exact`.  Pass ``n_chunks`` explicitly to force the
+    single-chunk index (it must be >= max_hamming + 1).
 
     Output: (id_a, id_b, hamming int).
     """
+    use_pairs = n_chunks is None and max_hamming >= 5
     if n_chunks is None:
-        n_chunks = min(max_hamming + 1, 64)
+        n_chunks = min(max_hamming + (2 if use_pairs else 1), 64)
     if n_chunks < max_hamming + 1:
         raise ValueError(
             f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: the "
             "pigeonhole recall guarantee needs at least max_hamming+1 chunks"
         )
-    # Split 64 bits into n_chunks contiguous disjoint chunks; the first
-    # (64 % n_chunks) chunks are one bit wider.
-    base, rem = divmod(64, n_chunks)
-    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_cols = _chunk_exprs(n_chunks)
     fps = simhash_fingerprints(df, text_col, id_col)
-    chunks = fps.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("simhash", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("ck"),
-                    )
-                    for i in range(n_chunks)
-                ]
+    if use_pairs:
+        # One struct per chunk PAIR (i<j): key = both chunk values.
+        pair_structs = [
+            F.struct(
+                F.lit(i * n_chunks + j).alias("chunk"),
+                # widths <= 32 bits combined: pack into one long key
+                chunk_cols[i].cast("long").alias("_ci"),
+                chunk_cols[j].cast("long").alias("_cj"),
             )
-        ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.ck")
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+        chunks = fps.select(
+            "id",
+            "simhash",
+            F.explode(F.array(*pair_structs)).alias("cc"),
+        ).select(
+            "id",
+            "simhash",
+            F.col("cc.chunk").alias("chunk"),
+            (F.shiftleft(F.col("cc._ci"), 32).bitwiseOR(F.col("cc._cj"))).alias("ck"),
+        )
+    else:
+        chunks = fps.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("chunk"), chunk_cols[i].alias("ck"))
+                        for i in range(n_chunks)
+                    ]
+                )
+            ).alias("cc"),
+        ).select("id", "simhash", "cc.chunk", "cc.ck")
 
     buckets = (
         chunks.groupBy("chunk", "ck")

@@ -53,8 +53,11 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens): whitespace token count next to a
     BPE-ish regex token count — the pre-tokenization granularity an LLM
     pipeline budgets by.  Pure JVM ``regexp_extract_all`` (codegen), so
-    it is SQL-oracle-able; n_bpe >= n_ws always (the regex splits inside
-    whitespace tokens, never across them)."""
+    it is SQL-oracle-able.  For space-delimited text n_bpe >= n_ws (the
+    regex splits inside tokens, never across them) — except degenerate
+    tokens made only of tab/newline characters, which count for n_ws but
+    match no regex branch (the whitespace class is explicit because Java
+    and RE2 disagree on \\s)."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(

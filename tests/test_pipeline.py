@@ -155,6 +155,45 @@ def test_simhash_full_recall_at_hamming_8(spark):
     assert got == expected
 
 
+def test_simhash_pair_index_survives_large_uniform_corpus(spark):
+    """At max_hamming=8 the auto-selected chunk-PAIR index keeps bucket
+    keys ~13 bits wide, so a large uniform corpus does NOT overflow the
+    bucket cap (the single 7-bit-chunk index would drop nearly every
+    bucket and silently lose recall): planted near-dup pairs must still
+    be found among 3000 random docs."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i}" for i in range(2000)]
+    rows = []
+    planted = []
+    for i in range(3000):
+        words = rng.choice(vocab, size=80).tolist()
+        rows.append((i, " ".join(words)))
+    for i in range(15):  # exact copies: hamming 0, must always surface
+        rows.append((50_000 + i, rows[i][1]))
+        planted.append((i, 50_000 + i))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    }
+    for p in planted:
+        assert p in found, p
+
+
+def test_simhash_max_hamming_zero_no_overflow(spark):
+    """max_hamming=0 (single 64-bit chunk) must not overflow the JVM
+    long mask: identical docs pair up, everything else does not."""
+    rows = [(0, "same text here"), (1, "same text here"), (2, "different words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=0).collect()
+    }
+    assert found == {(0, 1)}
+
+
 def test_simhash_boilerplate_bucket_capped(spark):
     """1k documents sharing identical simhash chunks must not trigger a
     quadratic candidate join: the oversized bucket is dropped (VERDICT

@@ -372,6 +372,37 @@ def test_spark_cli_pure_dp_explicit_universe_rejects_strings(spark):
         )
 
 
+def test_spark_cli_pure_dp_explicit_universe_range_checked(spark, tmp_path):
+    """Integral values outside [0, U) must raise — out-of-range keys
+    silently void the epsilon-DP guarantee."""
+    import pytest as _pytest
+
+    from mgspark.cli import spark_sketch
+
+    path = str(tmp_path / "ints.parquet")
+    spark.createDataFrame([(10**9,), (5,)], "v long").write.parquet(path)
+    with _pytest.raises(ValueError, match="outside the declared universe"):
+        spark_sketch(["mgspark", "spark", "3", "5.0", "0", "100", path, "v"])
+
+
+def test_dictionary_encode_null_safe_and_bounded(spark):
+    """dictionary_encode skips nulls and raises past max_distinct."""
+    import pytest as _pytest
+
+    from mgspark.aggregate import dictionary_encode
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "v string"
+    )
+    encoded, inverse, size = dictionary_encode(df, "v")
+    assert size == 2 and set(inverse.values()) == {"a", "b"}
+    keys = [r["key"] for r in encoded.select("key").collect()]
+    assert len(keys) == 3  # the null row is dropped
+    assert set(keys) <= {0, 1}
+    with _pytest.raises(ValueError, match="distinct"):
+        dictionary_encode(df, "v", max_distinct=1)
+
+
 def test_embedding_near_dup_zero_vector_not_released(spark):
     """Zero embeddings must not pass the cosine threshold via NaN (Spark
     orders NaN above every number)."""
