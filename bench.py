@@ -118,12 +118,13 @@ def scale_worker(cores: int, repo_dir: str, warm_dir: str | None = None,
     for _ in range(2):
         _build_merge_job(spark, warm_dir or repo_dir, pre_aggregate)
     _build_merge_job(spark, repo_dir, pre_aggregate)  # one full-size warm pass
-    best = float("inf")
-    state = None
-    for _ in range(2):
-        start = time.perf_counter()
-        state = _build_merge_job(spark, repo_dir, pre_aggregate)
-        best = min(best, time.perf_counter() - start)
+    # ONE measured run per worker: best-of accumulates ACROSS bench
+    # invocations via scaling_history.json (the driver benches every
+    # round), and a second in-process run here costs more wall time than
+    # it removes variance.
+    start = time.perf_counter()
+    state = _build_merge_job(spark, repo_dir, pre_aggregate)
+    best = time.perf_counter() - start
     out = {"cores": cores, "sec": best, "tokens": state.n}
     if with_cpu_probe:
         out.update(_cpu_probe(spark, cores))
@@ -134,7 +135,7 @@ def scale_worker(cores: int, repo_dir: str, warm_dir: str | None = None,
 # Second-pass cutoff: queries slower than this on pass 1 are not re-run
 # (a long run already integrates over steal windows; re-running doubles
 # the bench budget for little variance reduction).
-_RERUN_CUTOFF_SEC = 10.0
+_RERUN_CUTOFF_SEC = 6.0
 
 HEADLINE_QUERIES = [
     "mg_topk_user_id",
@@ -314,14 +315,21 @@ def _merge_history(pairs: dict) -> dict:
         # where both levels share the same steal regime.  History only
         # carries over for the same dataset (token count); a changed
         # input resets it like the per-level bests above.
+        # Efficiency > 1 is physically impossible for this job — it means
+        # the LOW level ran inside a steal window (denominator inflated),
+        # not that the high level scaled super-linearly; such pairs are
+        # artifacts and must never be pinned as the best.
         prev_pair_eff = (
             prev.get("best_pair_efficiency", 0.0)
             if prev.get("tokens") == pair["tokens"]
             else 0.0
         )
-        merged["best_pair_efficiency"] = round(
-            max(prev_pair_eff, pair["efficiency"]), 4
-        )
+        candidates = [
+            eff
+            for eff in (prev_pair_eff, pair["efficiency"])
+            if eff <= 1.02
+        ]
+        merged["best_pair_efficiency"] = round(max(candidates, default=0.0), 4)
         merged["runs"] = prev.get("runs", 0) + 1
         best[pair_name] = merged
     with open(path, "w", encoding="utf8") as f:
