@@ -52,8 +52,9 @@ BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]+"
 def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens): whitespace token count next to a
     BPE-ish regex token count — the pre-tokenization granularity an LLM
-    pipeline budgets by.  Pure JVM ``regexp_extract_all`` (codegen), so
-    it is SQL-oracle-able.  For space-delimited text n_bpe >= n_ws (the
+    pipeline budgets by.  Pure JVM ``regexp_extract_all`` (a
+    CodegenFallback expression: interpreted JVM projection, still no
+    Python anywhere in the scan), so it is SQL-oracle-able.  For space-delimited text n_bpe >= n_ws (the
     regex splits inside tokens, never across them) — except degenerate
     tokens made only of tab/newline characters, which count for n_ws but
     match no regex branch (the whitespace class is explicit because Java

@@ -127,6 +127,44 @@ def test_combiner_preagg_has_mapside_partial_agg(docs):
     assert tree.count("Exchange (") == 1, plan
 
 
+def test_bpe_token_stats_stays_jvm_side(docs):
+    """The BPE-ish token count must be a JVM projection over a pruned
+    scan — no Python evaluation node anywhere in the plan."""
+    from mgspark.pipeline.textstats import bpe_token_stats
+
+    plan = _formatted(bpe_token_stats(docs, "text", "doc_id"))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+        assert node not in plan, node
+    assert "regexp_extract_all" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" in read_schema[0]
+    assert "source" not in read_schema[0], "must not read unused columns"
+
+
+def test_ngram_doc_freq_cap_adds_one_window_no_extra_agg_exchange(docs):
+    """The max_doc_freq cap must be a Window over the gram exchange, not
+    a groupBy+semi-join: the capped plan adds NO HashAggregate (the old
+    form added a groupBy(gram) agg) and at most one Exchange per
+    duplicated consumer subtree (the static plan repeats the shared gram
+    subtree once per consumer; AQE reuses the identical exchanges at
+    runtime)."""
+    from mgspark.pipeline.dedup import ngram_jaccard_pairs
+
+    uncapped = _formatted(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    ).split("\n\n")[0]
+    capped = _formatted(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8)
+    ).split("\n\n")[0]
+    n_windows = capped.count("Window (")
+    assert n_windows >= 1 and "Window" not in uncapped
+    assert capped.count("HashAggregate (") == uncapped.count("HashAggregate (")
+    assert capped.count("Exchange (") <= uncapped.count("Exchange (") + n_windows, (
+        uncapped.count("Exchange ("),
+        capped.count("Exchange ("),
+    )
+
+
 def test_mg_topk_probe_scans_single_column(docs):
     """The combiner probe must be a pruned single-column scan (ReadSchema
     carries only the probed column), not a full-width read."""
