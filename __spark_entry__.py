@@ -212,6 +212,23 @@ def q_exact_dup_groups_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(docs, "source", "doc_id")
 
 
+def q_near_dup_components_exact_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs->clusters dedup step (connected components via min-label
+    propagation + pointer jumping), oracle-checked on the exact-duplicate
+    graph: pairs of byte-identical documents form disjoint cliques, so
+    the components must be exactly the duplicate text groups — (keep_id =
+    min doc_id, size) per group, which DuckDB recomputes with GROUP BY
+    text."""
+    from mgspark.pipeline.dedup import near_dup_components
+
+    docs = _read(spark, sf_dir, "documents")
+    hashed = docs.select(F.sha2("text", 256).alias("_h"), F.col("doc_id"))
+    a = hashed.select("_h", F.col("doc_id").alias("id_a"))
+    b = hashed.select("_h", F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, "_h").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return near_dup_components(pairs)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -907,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: dedup / similarity / text analysis
         "dedup_exact_count": q_dedup_exact_count,
         "exact_dup_groups_source": q_exact_dup_groups_source,
+        "near_dup_components_exact_graph": q_near_dup_components_exact_graph,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "token_stats": q_token_stats,
@@ -1038,6 +1056,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(source) AS content_sha256, COUNT(*) AS dup_count, "
             "MIN(doc_id) AS keep_id FROM documents GROUP BY source "
             "HAVING COUNT(*) > 1"
+        ),
+        "near_dup_components_exact_graph": (
+            "SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS size "
+            "FROM documents GROUP BY text HAVING COUNT(*) > 1"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

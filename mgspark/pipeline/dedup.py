@@ -41,6 +41,9 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "near_dup_components",
+    "dedup_near",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -465,6 +468,112 @@ def simhash_near_pairs(
     cand = buckets.mapInPandas(pairs, pair_schema).distinct()
     hamming = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     return hamming.where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a pair list: (id, comp) with ``comp`` =
+    the smallest id in the node's component.
+
+    Near-dup pairs only become a DEDUP decision once grouped into
+    clusters (A~B, B~C must collapse to one kept document even when A~C
+    was never emitted); this is the pairs->clusters step every
+    production dedup pipeline runs.
+
+    Algorithm: min-label propagation with a pointer-jumping step —
+    each iteration takes (a) the min label over neighbors (one join +
+    min-agg: shuffles O(E)) and (b) the label's own label
+    (comp <- comp(comp), roughly doubling propagation distance), so
+    convergence is O(log diameter) iterations rather than O(diameter);
+    near-dup components are tiny and converge in 2-4.  Everything is
+    DataFrame joins/aggregations — Catalyst plans the shuffles, AQE
+    handles skew.  Each iteration ends in an EAGER ``localCheckpoint``:
+    an iterative plan that merely persists keeps the whole lineage, and
+    once a mid-chain cache is evicted recomputation (each level is
+    referenced twice) and plan size grow exponentially — truncating the
+    lineage per iteration is mandatory for any iterative DataFrame
+    algorithm.  (On a cluster where executor loss matters, swap
+    ``localCheckpoint`` for a reliable ``checkpoint`` directory.)
+    Convergence is checked exactly (count of changed labels).
+    """
+    from mgspark.cacheutil import transient_persist
+
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = transient_persist(edges)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("comp"))
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- min(comp, comp(comp))
+        jump = nbr_min.select(
+            F.col("id").alias("_cid"), F.col("comp").alias("_ccomp")
+        )
+        new_labels = (
+            nbr_min.join(jump, nbr_min["comp"] == jump["_cid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_ccomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # eager: truncates the iteration's lineage
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "_new")
+            .join(labels, "id")
+            .where(F.col("_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(pointer jumping needs ~log2(diameter); raise max_iter)"
+    )
+
+
+def near_dup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Cluster summary from near-dup pairs: one row per component with
+    >1 member — (keep_id = min id, size)."""
+    labels = connected_components(pairs, id_a, id_b)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") > 1)
+        .select(F.col("comp").alias("keep_id"), "size")
+    )
+
+
+def dedup_near(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Keep one document per near-dup cluster: rows whose id either
+    appears in no pair or is its component's minimum survive.  The
+    ``pairs`` input is any (id_a, id_b) near-dup pair list (MinHash,
+    SimHash, embedding, n-gram) — the cluster step is method-agnostic.
+    """
+    labels = connected_components(pairs)
+    drop = labels.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

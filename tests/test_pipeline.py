@@ -96,6 +96,51 @@ def test_minhash_finds_planted_near_dups(spark, dup_fixture):
     assert near_found >= 8
 
 
+def test_connected_components_chains_and_isolates(spark):
+    """A~B, B~C must collapse into one cluster even without an A~C pair;
+    disjoint pairs stay separate; unpaired docs survive dedup_near."""
+    from mgspark.pipeline.dedup import connected_components, dedup_near, near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    comps = {(r["keep_id"], r["size"]) for r in near_dup_components(pairs).collect()}
+    assert comps == {(1, 3), (10, 2)}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, "doc_id", pairs).collect())
+    assert kept == [1, 10, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 40-hop path collapses within the default
+    iteration budget (log2(40) ~ 6, not 40)."""
+    from mgspark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 41
+
+
+def test_dedup_near_on_minhash_pairs(spark, dup_fixture):
+    """End-to-end near dedup: minhash pairs -> clusters -> keep one per
+    cluster; every planted exact-dup copy is dropped, its original kept."""
+    from mgspark.pipeline.dedup import dedup_near
+
+    df, exact_pairs, _ = dup_fixture
+    pairs = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.7)
+    kept = {r["doc_id"] for r in dedup_near(df, "doc_id", pairs).collect()}
+    for orig, copy in exact_pairs:
+        keep, drop = min(orig, copy), max(orig, copy)
+        assert drop not in kept
+    assert len(kept) < df.count()
+
+
 def test_minhash_signature_determinism(spark, docs):
     sig1 = minhash_signatures(docs.limit(50), "text", "doc_id").collect()
     sig2 = minhash_signatures(docs.limit(50), "text", "doc_id").collect()

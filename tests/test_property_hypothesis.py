@@ -85,7 +85,10 @@ def test_hll_merge_commutes_and_bounds(a, b):
     true = len(set(a) | set(b))
     if true:
         est = sk.estimate(merged)
-        assert abs(est - true) / true < 0.25  # p=10 -> ~3.3% sigma
+        # p=10 -> ~3.3% sigma relative; the absolute floor covers tiny
+        # cardinalities, where two values hashing into one register is a
+        # legitimate 50%-relative-error outcome (found by hypothesis).
+        assert abs(est - true) <= max(0.25 * true, 2.0)
 
 
 @settings(max_examples=60, deadline=None)
