@@ -358,6 +358,33 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs, "text", "doc_id", min_quality=0.5, min_tokens=5)
 
 
+def q_curate_neardup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the MinHash near-dup stage (pairs ->
+    connected components -> keep one per cluster), oracle-checked as an
+    invariant: the near-dedup curated set must be a subset of the
+    exact-only curated set (the stage only removes documents), whose
+    size DuckDB recomputes exactly."""
+    from mgspark.pipeline.curate import curate_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    base = {
+        r["id"]
+        for r in curate_documents(
+            docs, "text", "doc_id", min_quality=0.5, min_tokens=5
+        ).select("id").collect()
+    }
+    near = {
+        r["id"]
+        for r in curate_documents(
+            docs, "text", "doc_id", min_quality=0.5, min_tokens=5,
+            near_dup_threshold=0.7,
+        ).select("id").collect()
+    }
+    return spark.createDataFrame(
+        [(len(base), int(near <= base))], "n_base long, subset_ok long"
+    )
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.dedup import simhash_near_pairs
 
@@ -933,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
+        "curate_neardup_invariant": q_curate_neardup_invariant,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1125,6 +1153,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_oracle(),
         "curate_documents": _curate_oracle(),
+        "curate_neardup_invariant": (
+            f"WITH base AS ({_curate_oracle()}) "
+            "SELECT COUNT(*)::BIGINT AS n_base, 1::BIGINT AS subset_ok FROM base"
+        ),
         "mg_sketch_bound_doc_tokens": (
             "SELECT 0::BIGINT AS over_violations, 0::BIGINT AS under_violations, "
             "1::BIGINT AS released_le_k, "

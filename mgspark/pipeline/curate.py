@@ -27,18 +27,28 @@ def curate_documents(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     keep_langs: list[str] | None = None,
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """Curated corpus rows: (id, n_tokens, quality, lang_pred).
 
-    Pipeline: exact dedup (keep min id per distinct text) -> quality
-    score -> drop documents below ``min_quality`` or shorter than
-    ``min_tokens`` -> heuristic language id -> optional language filter.
-    Quality and language are raw column expressions over the deduped
-    rows, so everything past the dedup shuffle fuses into one projection
-    (the quality filter sits below the language expression — no join, no
+    Pipeline: exact dedup (keep min id per distinct text) -> optional
+    NEAR dedup (MinHash+LSH pairs -> connected components -> keep one
+    per cluster, when ``near_dup_threshold`` is set) -> quality score ->
+    drop documents below ``min_quality`` or shorter than ``min_tokens``
+    -> heuristic language id -> optional language filter.  Quality and
+    language are raw column expressions over the deduped rows, so
+    everything past the dedup shuffles fuses into one projection (the
+    quality filter sits below the language expression — no join, no
     wasted lang scoring on dropped documents).
     """
     deduped = dedup_exact(df, text_col, id_col)
+    if near_dup_threshold is not None:
+        from mgspark.pipeline.dedup import dedup_near, minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(
+            deduped, text_col, id_col, threshold=near_dup_threshold
+        )
+        deduped = dedup_near(deduped, id_col, pairs)
     exprs = quality_exprs(text_col)
     kept = deduped.where(
         (exprs["quality"] >= min_quality) & (exprs["n_tokens"] >= min_tokens)

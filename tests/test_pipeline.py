@@ -559,3 +559,11 @@ def test_curate_documents_pipeline(spark, docs_with_dups):
     ).collect()
     assert 0 < len(en_only) < len(rows)
     assert all(r["lang_pred"] == "en" for r in en_only)
+    # near-dup stage: strictly narrows the kept set vs exact-only and
+    # stays a subset of it
+    near = curate_documents(
+        docs_with_dups, "text", "doc_id", min_quality=0.3, min_tokens=3,
+        near_dup_threshold=0.6,
+    ).collect()
+    assert {r["id"] for r in near} <= {r["id"] for r in rows}
+    assert len(near) < len(rows)
