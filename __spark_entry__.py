@@ -249,6 +249,19 @@ def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling pass (one-scan per-column stats), exact
+    distinct mode for the oracle; restricted to string/int columns so
+    min/max stringification is engine-independent (double and timestamp
+    renderings differ between Spark and DuckDB)."""
+    from mgspark.pipeline.profile import profile_table
+
+    events = _read(spark, sf_dir, "events")
+    return profile_table(
+        events, ["event_type", "user_id", "event_id"], exact_distinct=True
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.textstats import token_stats
 
@@ -956,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "profile_events": q_profile_events,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -1133,6 +1147,16 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
         "bpe_token_stats": _bpe_oracle(),
+        "profile_events": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column, COUNT(*)::BIGINT AS n_rows, "
+                f"(COUNT(*) - COUNT({c}))::BIGINT AS n_nulls, "
+                f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+                f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
+                f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM events"
+                for c in ("event_type", "user_id", "event_id")
+            )
+        ),
         "quality_score": (
             "WITH f AS (SELECT doc_id, "
             "  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "

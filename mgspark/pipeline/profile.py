@@ -1,0 +1,63 @@
+"""Table profiling: the data-quality pass a large-scale pipeline runs
+before training-data jobs — per-column null counts, distinct counts,
+min/max — as one declarative aggregation.
+
+Scale design: the default is ONE global aggregation job computing every
+column's stats in a single pass over the scan (partial aggregation
+map-side, final agg on one reducer row — no data-sized shuffle).
+Distinct counts default to HLL (``approx_count_distinct``) because an
+exact per-column distinct at 100 TB is a full shuffle per column;
+``exact_distinct=True`` switches to exact ``count_distinct`` (still one
+job — Spark expands multiple distinct aggregates) for bounded tables
+and oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str).
+
+    min/max are cast to string so heterogeneous column types fit one
+    schema; null-only columns yield null min/max.  All expressions live
+    in one aggregation (single scan, map-side partials).
+    """
+    if columns is None:
+        columns = list(df.columns)
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, col in enumerate(columns):
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"_nulls_{i}"),
+            distinct_fn(F.col(col)).alias(f"_dist_{i}"),
+            F.min(F.col(col)).cast("string").alias(f"_min_{i}"),
+            F.max(F.col(col)).cast("string").alias(f"_max_{i}"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            col,
+            int(row["_n"]),
+            int(row[f"_nulls_{i}"]),
+            int(row[f"_dist_{i}"]),
+            row[f"_min_{i}"],
+            row[f"_max_{i}"],
+        )
+        for i, col in enumerate(columns)
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_str string, max_str string",
+    )

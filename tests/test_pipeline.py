@@ -495,6 +495,23 @@ def test_bpe_token_stats_properties(spark):
         assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
 
 
+def test_profile_table_truth(spark):
+    """Profiling stats match hand-computed truth, incl. a null-only
+    column; approx mode stays within HLL error of exact."""
+    from mgspark.pipeline.profile import profile_table
+
+    rows = [(1, "a", None), (2, "b", None), (3, "a", None), (None, None, None)]
+    df = spark.createDataFrame(rows, "x long, s string, z string")
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 3
+    assert (got["x"]["min_str"], got["x"]["max_str"]) == ("1", "3")
+    assert got["s"]["n_distinct"] == 2 and got["s"]["n_nulls"] == 1
+    assert got["z"]["n_distinct"] == 0 and got["z"]["min_str"] is None
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert abs(approx["x"]["n_distinct"] - 3) <= 1
+
+
 def test_pcm_waveform_stats_truth(spark):
     """PCM features must equal the numpy ground truth, including the
     empty-payload and single-sample edge cases."""
