@@ -249,6 +249,15 @@ def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyterms (top-3, smoothed idf); the contract
+    compares integer outputs + rank, never the float score, so the
+    check is free of cross-engine float stringification."""
+    from mgspark.pipeline.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling pass (one-scan per-column stats), exact
     distinct mode for the oracle; restricted to string/int columns so
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -1147,6 +1157,23 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
         "bpe_token_stats": _bpe_oracle(),
+        "tfidf_top_terms": (
+            "WITH terms AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2), "
+            "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq "
+            "FROM terms GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM documents), "
+            "scored AS (SELECT doc_id, term, tf, doc_freq, "
+            "tf * ln((n + 1.0) / (doc_freq + 1.0)) AS s "
+            "FROM tf JOIN dfq USING (term), n), "
+            "ranked AS (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank FROM scored) "
+            "SELECT doc_id AS id, term, tf::BIGINT AS tf, "
+            "doc_freq::BIGINT AS doc_freq, rank::BIGINT AS rank "
+            "FROM ranked WHERE rank <= 3"
+        ),
         "profile_events": (
             " UNION ALL ".join(
                 f"SELECT '{c}' AS column, COUNT(*)::BIGINT AS n_rows, "

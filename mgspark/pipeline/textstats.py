@@ -28,6 +28,7 @@ __all__ = [
     "lang_id",
     "lang_pred_expr",
     "fingerprint",
+    "tfidf_top_terms",
 ]
 
 
@@ -157,6 +158,52 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         lang_pred_expr(text_col).alias("lang_pred"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document TF-IDF keyterms: (id, term, tf, doc_freq, rank) for
+    the top ``k`` terms by ``tf * ln((N+1)/(df+1))`` (smoothed idf),
+    ties broken by term ascending.
+
+    Pure DataFrame composition: explode -> (id, term) count -> term
+    doc-frequency -> join -> per-document window top-k.  Shuffle story
+    at scale: two combiner-friendly aggregations plus one join on term
+    (the doc-frequency side is vocabulary-sized — broadcastable) and one
+    window partitioned by document id.  The released columns are
+    integers + the rank, so the result is engine-comparable without
+    float stringification (the float score stays internal).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    doc_freq = (
+        terms.distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
+    )
+    n_docs = df.count()
+    scored = tf.join(doc_freq, "term").withColumn(
+        "_s",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)),
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

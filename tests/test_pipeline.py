@@ -495,6 +495,28 @@ def test_bpe_token_stats_properties(spark):
         assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
 
 
+def test_tfidf_top_terms_truth(spark):
+    """TF-IDF ranking on a hand-checkable corpus: a term unique to one
+    doc outranks a corpus-wide term with higher tf."""
+    from mgspark.pipeline.textstats import tfidf_top_terms
+
+    rows = [
+        (0, "common common common rare0"),
+        (1, "common common rare1 rare1"),
+        (2, "common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"])
+        for r in tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    }
+    # 'common' appears in all 3 docs -> idf ln(4/4)=0: always outranked
+    assert got[(0, 1)] == ("rare0", 1, 1)
+    assert got[(1, 1)] == ("rare1", 2, 1)
+    assert got[(2, 1)] == ("other", 1, 1)
+    assert got[(0, 2)][0] == "common" and got[(1, 2)][0] == "common"
+
+
 def test_profile_table_truth(spark):
     """Profiling stats match hand-computed truth, incl. a null-only
     column; approx mode stays within HLL error of exact."""
