@@ -327,9 +327,13 @@ def _merge_history(pairs: dict) -> dict:
         candidates = [
             eff
             for eff in (prev_pair_eff, pair["efficiency"])
-            if eff <= 1.02
+            if eff and eff <= 1.02
         ]
-        merged["best_pair_efficiency"] = round(max(candidates, default=0.0), 4)
+        # None (not 0.0) when no credible pair exists yet, so consumers
+        # fall back to the mixed-window efficiency instead of printing 0.
+        merged["best_pair_efficiency"] = (
+            round(max(candidates), 4) if candidates else None
+        )
         merged["runs"] = prev.get("runs", 0) + 1
         best[pair_name] = merged
     with open(path, "w", encoding="utf8") as f:
@@ -374,9 +378,8 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
         "preagg_8v32_vs_host_ceiling": (
             round(job_speedup / host["speedup"], 3) if host else None
         ),
-        "efficiency": best["preagg_2v8"].get(
-            "best_pair_efficiency", best["preagg_2v8"]["efficiency"]
-        ),
+        "efficiency": best["preagg_2v8"].get("best_pair_efficiency")
+        or best["preagg_2v8"]["efficiency"],
         "current_run_efficiency": pre_2v8["efficiency"],
     }
 

@@ -499,9 +499,10 @@ def connected_components(
     """
     from mgspark.cacheutil import transient_persist
 
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    # Ids keep their native type: min-label propagation only needs a
+    # total order, so string/uuid ids work too (a long cast would null
+    # them out and silently keep every duplicate).
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -563,13 +564,17 @@ def near_dup_components(
     )
 
 
-def dedup_near(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+def dedup_near(
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
     """Keep one document per near-dup cluster: rows whose id either
     appears in no pair or is its component's minimum survive.  The
-    ``pairs`` input is any (id_a, id_b) near-dup pair list (MinHash,
-    SimHash, embedding, n-gram) — the cluster step is method-agnostic.
+    ``pairs`` input is any near-dup pair list (MinHash, SimHash,
+    embedding, n-gram) — the cluster step is method-agnostic; pass
+    ``id_a``/``id_b`` when the pair columns are named differently.
     """
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, id_a, id_b)
     drop = labels.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

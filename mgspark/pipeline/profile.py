@@ -45,12 +45,14 @@ def profile_table(
         ]
     row = df.agg(*aggs).first()
     spark = df.sparkSession
+    # SUM over zero rows is null, so `or 0` keeps the empty-table profile
+    # (the case a data-quality pass most wants to report) from crashing.
     out = [
         (
             col,
-            int(row["_n"]),
-            int(row[f"_nulls_{i}"]),
-            int(row[f"_dist_{i}"]),
+            int(row["_n"] or 0),
+            int(row[f"_nulls_{i}"] or 0),
+            int(row[f"_dist_{i}"] or 0),
             row[f"_min_{i}"],
             row[f"_max_{i}"],
         )

@@ -178,12 +178,20 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    terms = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        ).alias("term"),
+    from mgspark.cacheutil import transient_persist
+
+    # The exploded terms feed BOTH the tf and doc-frequency branches
+    # (different aggregates, so ReusedExchange cannot dedupe them);
+    # persist to scan + explode the corpus once, not twice.
+    terms = transient_persist(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("term"),
+        )
     )
+    terms.count()
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     doc_freq = (
         terms.distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))

@@ -115,6 +115,36 @@ def test_connected_components_chains_and_isolates(spark):
     assert kept == [1, 10, 99]
 
 
+def test_connected_components_string_ids(spark):
+    """Ids keep their native type: string/uuid ids must cluster (a long
+    cast would null them out and silently keep every duplicate)."""
+    from mgspark.pipeline.dedup import connected_components, dedup_near
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    labels = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert labels == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+    docs = spark.createDataFrame(
+        [(i, "t") for i in ["doc-a", "doc-b", "doc-c", "doc-z"]],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_near(docs, "doc_id", pairs).collect()}
+    assert kept == {"doc-a", "doc-z"}
+
+
+def test_profile_table_empty_input(spark):
+    """An empty table is exactly when a data-quality pass must report,
+    not crash."""
+    from mgspark.pipeline.profile import profile_table
+
+    df = spark.createDataFrame([], "x long, s string")
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    for col in ("x", "s"):
+        assert got[col]["n_rows"] == 0 and got[col]["n_nulls"] == 0
+        assert got[col]["n_distinct"] == 0 and got[col]["min_str"] is None
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping: a 40-hop path collapses within the default
     iteration budget (log2(40) ~ 6, not 40)."""
@@ -134,11 +164,19 @@ def test_dedup_near_on_minhash_pairs(spark, dup_fixture):
 
     df, exact_pairs, _ = dup_fixture
     pairs = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.7)
+    from mgspark.pipeline.dedup import connected_components
+
     kept = {r["doc_id"] for r in dedup_near(df, "doc_id", pairs).collect()}
+    all_ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    # exactly ONE member of every near-dup component survives: its min id
+    comps: dict = {}
+    for r in connected_components(pairs).collect():
+        comps.setdefault(r["comp"], set()).add(r["id"])
+    for members in comps.values():
+        assert kept & members == {min(members)}
     for orig, copy in exact_pairs:
-        keep, drop = min(orig, copy), max(orig, copy)
-        assert drop not in kept
-    assert len(kept) < df.count()
+        assert max(orig, copy) not in kept
+    assert len(kept) < len(all_ids)
 
 
 def test_minhash_signature_determinism(spark, docs):
