@@ -157,6 +157,8 @@ HEADLINE_QUERIES = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "tfidf_top_terms",
+    "profile_events",
     "asset_meta",
     "decode_image_pixel_stats",
     "pcm_waveform_stats",
