@@ -43,11 +43,11 @@ Usage:
   Create a user-level (epsilon, 0)-private sketch:
     python -m mgspark userlevel <sketch size> <epsilon> 0 <user element count> <universe size> <stream file>
   Distributed sketch of a parquet or catalog-table column (Spark job):
-    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path | table:NAME> <column> [checkpoint dir]
+    python -m mgspark spark <sketch size> <epsilon> <delta> <parquet path | table:NAME | iceberg:CAT.DB.TBL> <column> [checkpoint dir]
   Distributed sketch with (epsilon, 0)-privacy (universe: an integer for a
   non-negative integral column, or `auto` to derive a dictionary universe
   from the column's distinct values):
-    python -m mgspark spark <sketch size> <epsilon> 0 <universe size | auto> <parquet path | table:NAME> <column> [checkpoint dir]"""
+    python -m mgspark spark <sketch size> <epsilon> 0 <universe size | auto> <parquet path | table:NAME | iceberg:CAT.DB.TBL> <column> [checkpoint dir]"""
 
 
 def _build_from_file(path: str, k: int) -> MGState:
@@ -169,12 +169,12 @@ def spark_sketch(argv: list[str]) -> None:
         universe_arg, path, column = argv[5], argv[6], argv[7]
         checkpoint = argv[8] if len(argv) > 8 else None
     spark = get_spark("mgspark-cli")
-    # `table:NAME` reads from the session catalog (temp view, Hive, or an
-    # Iceberg/Delta catalog when configured); a bare path reads parquet.
-    if path.startswith("table:"):
-        df = spark.read.table(path[len("table:"):])
-    else:
-        df = spark.read.parquet(path)
+    # Unified source dispatch: `iceberg:CAT.DB.TBL` (DataSource V2, with
+    # time-travel for resumable lineage), `table:NAME` (session catalog),
+    # or a bare parquet path — see mgspark.sources.load_table.
+    from mgspark.sources import load_table  # noqa: PLC0415
+
+    df = load_table(spark, path, columns=[column])
 
     decode = None
     if delta > 0:

@@ -418,3 +418,40 @@ def test_embedding_near_dup_zero_vector_not_released(spark):
             ).collect()
         }
         assert found == {(1, 2)}, f"{method}: {found}"
+
+
+def test_load_table_dispatch(spark, tmp_path):
+    """load_table: parquet path, table:NAME, column pruning, option guards."""
+    import pytest as _pytest
+
+    from mgspark.sources import load_table
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("r1", "a.py", "en"), ("r2", "b.py", "fr")],
+        "repo string, path string, lang string",
+    ).write.parquet(p)
+
+    df = load_table(spark, p)
+    assert df.count() == 2
+    pruned = load_table(spark, p, columns=["lang"])
+    assert pruned.columns == ["lang"]
+
+    spark.read.parquet(p).createOrReplaceTempView("load_table_view")
+    assert load_table(spark, "table:load_table_view").count() == 2
+
+    with _pytest.raises(ValueError, match="at most one"):
+        load_table(spark, p, snapshot_id=1, as_of_timestamp=1)
+    with _pytest.raises(ValueError, match="time-travel"):
+        load_table(spark, p, snapshot_id=1)
+
+
+def test_load_table_iceberg_missing_runtime(spark):
+    """Without the iceberg-spark-runtime jar the iceberg: URI must fail
+    with the spark-submit recipe, not a bare class-not-found."""
+    import pytest as _pytest
+
+    from mgspark.sources import load_table
+
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        load_table(spark, "iceberg:cat.db.repos", snapshot_id=42)
