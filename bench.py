@@ -219,14 +219,9 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
                     # Both passes must measure the same work (cold index
                     # build + probe): the plan-keyed session cache would
                     # otherwise let pass 2 time a cache-hit probe only.
-                    import mgspark.pipeline.similarity as _sim
+                    from mgspark.pipeline.similarity import clear_ivf_cache
 
-                    for idx in _sim._IVF_CACHE.values():
-                        try:
-                            idx.indexed.unpersist()
-                        except Exception:
-                            pass
-                    _sim._IVF_CACHE.clear()
+                    clear_ivf_cache()
                 timed(name, lambda n=name: qmap[n](spark, SF_DIR).collect())
     meta["repo_tokens_per_sec"] = round(state.n / queries["q_build_merge_repo_tokens"])
     meta["preagg_tokens_per_sec"] = round(state_pre.n / queries["q_build_merge_preagg"])

@@ -162,10 +162,20 @@ def spark_sketch(argv: list[str]) -> None:
     epsilon = float(argv[3])
     delta = float(argv[4])
     if delta > 0:
+        if len(argv) < 7:
+            raise ValueError(
+                "spark mode needs <path|table:NAME|iceberg:CAT.DB.TBL> <column>"
+            )
         universe_arg = None
         path, column = argv[5], argv[6]
         checkpoint = argv[7] if len(argv) > 7 else None
     else:
+        if len(argv) < 8:
+            raise ValueError(
+                "pure-DP spark mode needs <universe size | auto> "
+                "<path|table:NAME|iceberg:CAT.DB.TBL> <column> "
+                "(the universe argument is required when delta == 0)"
+            )
         universe_arg, path, column = argv[5], argv[6], argv[7]
         checkpoint = argv[8] if len(argv) > 8 else None
     spark = get_spark("mgspark-cli")

@@ -54,7 +54,7 @@ def curate_documents(
         (exprs["quality"] >= min_quality) & (exprs["n_tokens"] >= min_tokens)
     )
     out = kept.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         exprs["n_tokens"].alias("n_tokens"),
         exprs["quality"].alias("quality"),
         lang_pred_expr(text_col).alias("lang_pred"),

@@ -116,9 +116,11 @@ def minhash_signatures(
     a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
 
+    # The id is a passthrough: keep its native type (string/uuid ids work;
+    # a long cast would null them out and silently skip every pair).
     schema = StructType(
         [
-            StructField("id", LongType(), False),
+            StructField("id", df.schema[id_col].dataType, False),
             StructField("sig", ArrayType(LongType(), False), False),
         ]
     )
@@ -131,7 +133,7 @@ def minhash_signatures(
         bu = b.astype(np.uint64)[:, None]
         p = np.uint64(MERSENNE)
         for pdf in batches:
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            ids = pdf["_id"]
             sigs = []
             for hashes in _shingle_hashes_batch(pdf["_text"], shingle_size):
                 if len(hashes) == 0:
@@ -146,7 +148,7 @@ def minhash_signatures(
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
     projected = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
     return projected.mapInPandas(compute, schema)
 
@@ -167,10 +169,14 @@ def lsh_candidate_pairs(
     known: probing it with ``first()`` costs an extra job over the whole
     signature computation.
     """
+    id_type = sig_df.schema["id"].dataType
+    pair_schema = StructType(
+        [StructField("id_a", id_type, False), StructField("id_b", id_type, False)]
+    )
     if sig_len is None:
         sig_len_row = sig_df.select(F.size("sig").alias("s")).first()
         if sig_len_row is None:
-            return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
+            return sig_df.sparkSession.createDataFrame([], pair_schema)
         sig_len = sig_len_row["s"]
     rows_per_band = max(1, sig_len // num_bands)
 
@@ -197,15 +203,11 @@ def lsh_candidate_pairs(
         .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
 
-    pair_schema = StructType(
-        [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
-    )
-
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_a, out_b = [], []
             for ids in pdf["ids"]:
-                ids = sorted(set(int(x) for x in ids))
+                ids = sorted(set(ids))
                 for i in range(len(ids)):
                     for j in range(i + 1, len(ids)):
                         out_a.append(ids[i])
@@ -229,20 +231,23 @@ def pick_num_bands(num_hashes: int, threshold: float, margin: float = 0.1) -> in
     exactly afterwards, so precision is unaffected.
 
     Quantitative at-threshold recall for the defaults (num_hashes=128,
-    threshold=0.7, margin=0.1): picks r=5, b=25 (crossover 0.53) ->
+    threshold=0.7, margin=0.1): picks r=5, b=25 (crossover 0.525) ->
     P(collide | j=0.7) = 1-(1-0.7^5)^25 ~ 0.99, vs ~0.61 for the
     at-threshold split.  Callers trading recall for candidate volume can
     pass ``num_bands`` explicitly instead.
     """
     target = threshold - margin
-    # Smallest band count whose crossover is <= target, evaluated with
-    # the EFFECTIVE rows-per-band the banding code will use
-    # (sig_len // num_bands); non-dividing splits leave trailing hashes
-    # unused, which is fine.
+    # Find the longest band (largest r) whose crossover is <= target,
+    # then take ALL the bands that row count admits (b = num_hashes //
+    # r): more bands at the same r strictly raises recall and uses
+    # hashes that would otherwise be computed but never banded
+    # (b=22 @ r=5 leaves 18 of 128 signature values unused; b=25 uses
+    # 125).  Crossover is evaluated with the EFFECTIVE rows-per-band
+    # the banding code will use (sig_len // num_bands).
     for b in range(2, num_hashes + 1):
         r = num_hashes // b
         if r >= 1 and (1.0 / b) ** (1.0 / r) <= target:
-            return b
+            return num_hashes // r
     return num_hashes  # r=1 fallback: crossover 1/num_hashes
 
 
@@ -296,10 +301,12 @@ def minhash_dedup_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens: (id, simhash)."""
+    """64-bit SimHash per document over whitespace tokens: (id, simhash).
+
+    The id passes through with its native type (string/uuid ids work)."""
     schema = StructType(
         [
-            StructField("id", LongType(), False),
+            StructField("id", df.schema[id_col].dataType, False),
             StructField("simhash", LongType(), False),
         ]
     )
@@ -308,7 +315,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            ids = pdf["_id"]
             fps = np.zeros(len(ids), dtype=np.int64)
             for i, text in enumerate(pdf["_text"]):
                 tokens = (text or "").split()
@@ -337,7 +344,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
             yield pd.DataFrame({"id": ids, "simhash": fps})
 
     projected = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
     return projected.mapInPandas(compute, schema)
 
@@ -391,7 +398,11 @@ def simhash_near_pairs(
 
     Output: (id_a, id_b, hamming int).
     """
-    use_pairs = n_chunks is None and max_hamming >= 5
+    # The pair index needs max_hamming+2 chunks; past 62 that exceeds the
+    # 64 available bits, and a 64-chunk pair index would only guarantee 1
+    # shared chunk (zero shared PAIRS) — fall back to the single-chunk
+    # index, which at n_chunks=64 still guarantees >= 1 shared chunk.
+    use_pairs = n_chunks is None and 5 <= max_hamming <= 62
     if n_chunks is None:
         n_chunks = min(max_hamming + (2 if use_pairs else 1), 64)
     if n_chunks < max_hamming + 1:
@@ -443,10 +454,11 @@ def simhash_near_pairs(
         .where((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
 
+    id_type = fps.schema["id"].dataType
     pair_schema = StructType(
         [
-            StructField("id_a", LongType(), False),
-            StructField("id_b", LongType(), False),
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
             StructField("sh_a", LongType(), False),
             StructField("sh_b", LongType(), False),
         ]
@@ -456,7 +468,7 @@ def simhash_near_pairs(
         for pdf in batches:
             out_a, out_b, sh_a, sh_b = [], [], [], []
             for members in pdf["members"]:
-                uniq = sorted({(int(m["id"]), int(m["simhash"])) for m in members})
+                uniq = sorted({(m["id"], int(m["simhash"])) for m in members})
                 for i in range(len(uniq)):
                     for j in range(i + 1, len(uniq)):
                         out_a.append(uniq[i][0])
@@ -605,7 +617,7 @@ def ngram_jaccard_pairs(
     """
     grams = (
         df.select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).alias("id"),
             F.explode(
                 F.transform(
                     F.sequence(
@@ -620,17 +632,22 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_doc_freq is not None:
-        from pyspark.sql import Window
-
-        # Window count over gram instead of groupBy+semi-join: one
-        # exchange of the gram rows instead of two (the semi-join form
-        # shuffles grams for the aggregate AND for the join); measured
-        # 4.6s -> 3.4s at sf0.1.
-        grams = (
-            grams.withColumn("_df", F.count("*").over(Window.partitionBy("gram")))
-            .where(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+        # Hot-gram blacklist via groupBy + BROADCAST anti-join rather
+        # than a Window count over gram: the whole point of the cap is
+        # that some grams are catastrophically hot, and a Window sends
+        # every instance of a hot gram to one task with no map-side
+        # combine and no AQE skew split (Spark can split skewed join
+        # partitions but never window partitions).  The groupBy partial-
+        # aggregates hot grams map-side, and the blacklist it emits is
+        # tiny by construction (only grams with > max_doc_freq docs), so
+        # the anti-join broadcasts — no second shuffle of the gram rows.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("gram")
         )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     g1 = grams.select(F.col("id").alias("id_a"), "gram")
     g2 = grams.select(F.col("id").alias("id_b"), "gram")

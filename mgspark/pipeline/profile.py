@@ -32,11 +32,34 @@ def profile_table(
     schema; null-only columns yield null min/max.  All expressions live
     in one aggregation (single scan, map-side partials).
     """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
     if columns is None:
         columns = list(df.columns)
     distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, col in enumerate(columns):
+        # Map-typed columns (alone or nested) are neither orderable nor
+        # hashable in Spark — min/max/distinct would fail analysis and
+        # abort the whole profiling job.  Profile their null count and
+        # report the rest as null instead of dying on the one column.
+        if contains_map(df.schema[col].dataType):
+            aggs += [
+                F.sum(F.col(col).isNull().cast("long")).alias(f"_nulls_{i}"),
+                F.lit(None).cast("long").alias(f"_dist_{i}"),
+                F.lit(None).cast("string").alias(f"_min_{i}"),
+                F.lit(None).cast("string").alias(f"_max_{i}"),
+            ]
+            continue
         aggs += [
             F.sum(F.col(col).isNull().cast("long")).alias(f"_nulls_{i}"),
             distinct_fn(F.col(col)).alias(f"_dist_{i}"),
@@ -52,7 +75,7 @@ def profile_table(
             col,
             int(row["_n"] or 0),
             int(row[f"_nulls_{i}"] or 0),
-            int(row[f"_dist_{i}"] or 0),
+            None if row[f"_dist_{i}"] is None else int(row[f"_dist_{i}"]),
             row[f"_min_{i}"],
             row[f"_max_{i}"],
         )

@@ -29,6 +29,7 @@ __all__ = [
     "ivf_build",
     "ann_ivf_topk",
     "embedding_near_dup_pairs",
+    "clear_ivf_cache",
 ]
 
 
@@ -436,6 +437,21 @@ def embedding_near_dup_pairs(
 # inserting beyond the cap evicts (and unpersists) the oldest index.
 _IVF_CACHE: dict[tuple, IVFIndex] = {}
 _IVF_CACHE_MAX = 8
+
+
+def clear_ivf_cache() -> None:
+    """Unpersist and drop every session-cached IVF index.
+
+    The one public owner of the cache's eviction mechanics — benches and
+    tests that need cold-index runs call this instead of poking
+    ``_IVF_CACHE`` directly.
+    """
+    for idx in _IVF_CACHE.values():
+        try:
+            idx.indexed.unpersist()
+        except Exception:
+            pass
+    _IVF_CACHE.clear()
 
 
 def _ivf_index_cache_get(

@@ -74,6 +74,14 @@ def mg_streaming_sketch(
     With ``token_col`` set, one exemplar token per surviving key rides in
     the state and the emitted rows, so consumers decode hashed keys
     without any scan of the (unbounded) stream history.
+
+    .. note:: the ``tokens`` state field (added for exemplar decode) is a
+       checkpoint-breaking state-schema change: a stream checkpointed
+       under the earlier 4-field state cannot resume against this
+       schema — restart such streams from a fresh checkpoint directory
+       (state rebuilds from the stream; MG bounds hold from the restart
+       point).  Streaming state schemas are pinned by the checkpoint in
+       Spark, so any future field addition carries the same cost.
     """
     # Coalesce null keys to -1 before sharding: pmod(null) yields a null
     # shard group whose key tuple would fail int() inside the state

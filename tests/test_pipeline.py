@@ -644,3 +644,94 @@ def test_curate_documents_pipeline(spark, docs_with_dups):
     ).collect()
     assert {r["id"] for r in near} <= {r["id"] for r in rows}
     assert len(near) < len(rows)
+
+
+def test_string_ids_minhash_and_curate(spark):
+    """String/uuid doc ids must flow through the whole near-dup path
+    natively — the historical cast('long') nulled them, every bucket saw
+    one unique (null) id, and dedup became a silent no-op."""
+    from mgspark.pipeline.curate import curate_documents
+    from mgspark.pipeline.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_pairs,
+        ngram_jaccard_pairs,
+        dedup_near,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        ("doc-aaaa", base),
+        ("doc-bbbb", base + "tail words here"),  # near dup of doc-aaaa
+        ("doc-cccc", " ".join(f"tok{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "uid string, text string")
+
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, "text", "uid", threshold=0.5).collect()
+    }
+    assert ("doc-aaaa", "doc-bbbb") in mh, mh
+
+    sh = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "text", "uid", max_hamming=8).collect()
+    }
+    assert ("doc-aaaa", "doc-bbbb") in sh, sh
+
+    ng = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "text", "uid", threshold=0.5).collect()
+    }
+    assert ("doc-aaaa", "doc-bbbb") in ng, ng
+
+    pairs = minhash_dedup_pairs(df, "text", "uid", threshold=0.5)
+    kept = {r["uid"] for r in dedup_near(df, "uid", pairs).collect()}
+    assert kept == {"doc-aaaa", "doc-cccc"}, kept
+
+    curated = {
+        r["id"]
+        for r in curate_documents(
+            df, "text", "uid", near_dup_threshold=0.5, min_quality=0.0, min_tokens=1
+        ).collect()
+    }
+    assert "doc-bbbb" not in curated and "doc-aaaa" in curated, curated
+
+
+def test_simhash_recall_at_hamming_63(spark):
+    """max_hamming=63 must fall back to the single-chunk index: the
+    chunk-PAIR index clamped to 64 chunks guarantees only one shared
+    chunk (zero shared pairs) and would silently drop distant pairs."""
+    from mgspark.pipeline.dedup import simhash_fingerprints, simhash_near_pairs
+
+    texts = [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(6)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    expected = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 63
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=63).collect()
+    }
+    assert found == expected, (len(found), len(expected))
+
+
+def test_profile_table_map_column(spark):
+    """A map-typed column must not abort the profiling job: its null
+    count is real, distinct/min/max report null, other columns profile
+    normally."""
+    from mgspark.pipeline.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}), (2, None), (3, {"c": "d"})],
+        "id long, meta map<string,string>",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["meta"]["n_nulls"] == 1
+    assert prof["meta"]["n_distinct"] is None
+    assert prof["meta"]["min_str"] is None
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "3"

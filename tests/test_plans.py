@@ -141,13 +141,13 @@ def test_bpe_token_stats_stays_jvm_side(docs):
     assert "source" not in read_schema[0], "must not read unused columns"
 
 
-def test_ngram_doc_freq_cap_adds_one_window_no_extra_agg_exchange(docs):
-    """The max_doc_freq cap must be a Window over the gram exchange, not
-    a groupBy+semi-join: the capped plan adds NO HashAggregate (the old
-    form added a groupBy(gram) agg) and at most one Exchange per
-    duplicated consumer subtree (the static plan repeats the shared gram
-    subtree once per consumer; AQE reuses the identical exchanges at
-    runtime)."""
+def test_ngram_doc_freq_cap_is_broadcast_anti_join(docs):
+    """The max_doc_freq cap must be a map-side-combinable groupBy(gram)
+    feeding a BROADCAST anti-join of the (tiny) hot-gram blacklist — not
+    a Window over gram, which would pin every instance of the hottest
+    gram to one task with no partial aggregation and no AQE skew split.
+    The gram rows themselves must not gain a shuffle for the filter: the
+    anti-join has to be broadcast, never sort-merge."""
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
     uncapped = _formatted(
@@ -156,13 +156,10 @@ def test_ngram_doc_freq_cap_adds_one_window_no_extra_agg_exchange(docs):
     capped = _formatted(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8)
     ).split("\n\n")[0]
-    n_windows = capped.count("Window (")
-    assert n_windows >= 1 and "Window" not in uncapped
-    assert capped.count("HashAggregate (") == uncapped.count("HashAggregate (")
-    assert capped.count("Exchange (") <= uncapped.count("Exchange (") + n_windows, (
-        uncapped.count("Exchange ("),
-        capped.count("Exchange ("),
-    )
+    assert "Window" not in capped and "Window" not in uncapped
+    anti = [l for l in capped.splitlines() if "Join" in l and "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+    assert "SortMergeJoin LeftAnti" not in capped
 
 
 def test_mg_topk_probe_scans_single_column(docs):

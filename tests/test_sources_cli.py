@@ -174,7 +174,7 @@ def test_ivf_build_once_reused_across_queries(spark, monkeypatch):
         return real_centroids(*args, **kwargs)
 
     monkeypatch.setattr(sim, "ivf_centroids", counting)
-    sim._IVF_CACHE.clear()
+    sim.clear_ivf_cache()
     for qi in (0, 1, 2):
         sim.ann_ivf_topk(df, "embedding", "vec_id", rows[qi][1], 5, n_centroids=8).collect()
     assert calls["n"] == 1, f"centroids trained {calls['n']} times for 3 queries"
@@ -278,7 +278,7 @@ def test_ivf_cache_evicts_oldest_first(spark, monkeypatch):
         for _ in range(3)
     ]
     monkeypatch.setattr(sim, "_IVF_CACHE_MAX", 2)
-    sim._IVF_CACHE.clear()
+    sim.clear_ivf_cache()
     q = dfs[0].first()["embedding"]
     indexes = []
     for df in dfs:
@@ -289,7 +289,7 @@ def test_ivf_cache_evicts_oldest_first(spark, monkeypatch):
     assert id(indexes[0]) not in cached, "oldest index must be evicted"
     assert id(indexes[1]) in cached and id(indexes[2]) in cached
     assert not indexes[0].indexed.is_cached, "evicted index must be unpersisted"
-    sim._IVF_CACHE.clear()
+    sim.clear_ivf_cache()
 
 
 def test_ivf_index_dir_param_mismatch_rebuilds(spark, tmp_path):
@@ -455,3 +455,16 @@ def test_load_table_iceberg_missing_runtime(spark):
 
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         load_table(spark, "iceberg:cat.db.repos", snapshot_id=42)
+
+
+def test_cli_spark_pure_dp_missing_universe_is_diagnostic():
+    """The old 7-arg pure-DP spark form (no universe argument) must raise
+    a usage ValueError, not an IndexError traceback."""
+    import pytest as _pytest
+
+    from mgspark.cli import spark_sketch
+
+    with _pytest.raises(ValueError, match="universe"):
+        spark_sketch(["mgspark", "spark", "10", "1.0", "0", "data.parquet", "tok"])
+    with _pytest.raises(ValueError, match="column"):
+        spark_sketch(["mgspark", "spark", "10", "1.0", "0.001", "data.parquet"])
