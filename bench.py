@@ -287,7 +287,8 @@ def _merge_history(pairs: dict) -> dict:
                 history = json.load(f)
         except (OSError, ValueError):
             history = {}
-    best = {}
+    # Preserve non-pair keys (e.g. the host-probe best) across rewrites.
+    best = {k: v for k, v in history.items() if k not in pairs}
     for pair_name, pair in pairs.items():
         prev = history.get(pair_name, {})
         merged = dict(pair)
@@ -338,6 +339,31 @@ def _merge_history(pairs: dict) -> dict:
     return best
 
 
+def _merge_probe_history(host: dict | None) -> dict | None:
+    """Fold the host-capacity probe into scaling_history.json, keeping the
+    BEST-observed speedup (cleanest window): the probe measures what the
+    host can deliver at all, so a steal-window sample understates it —
+    same best-of methodology as the per-level pair times.  Returns the
+    best probe (this run's, if it is the cleanest so far)."""
+    path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    history = {}
+    if os.path.exists(path):
+        try:
+            with open(path, encoding="utf8") as f:
+                history = json.load(f)
+        except (OSError, ValueError):
+            history = {}
+    prev = history.get("host_probe_best")
+    cand = [p for p in (prev, host) if p]
+    if not cand:
+        return None
+    best = max(cand, key=lambda p: p["speedup"])
+    history["host_probe_best"] = best
+    with open(path, "w", encoding="utf8") as f:
+        json.dump(history, f, indent=1)
+    return best
+
+
 def run_scaling(scale_dir: str, warm_dir: str) -> dict:
     # Two execution paths x two N-vs-4N pairs.  The zero-shuffle sketch
     # path is ceiling-limited by this VM's JVM->Python Arrow pipe rate
@@ -362,7 +388,11 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
         {"sketch_2v8": sketch_2v8, "preagg_2v8": pre_2v8, "preagg_8v32": pre_8v32}
     )
     # If the probe did not run, report that — never fabricate a ceiling.
-    host = getattr(_scale_pair, "last_probe", None)
+    # The ceiling normalization uses the best-observed (cleanest-window)
+    # probe: a probe sampled inside a steal spike *understates* host
+    # capacity and would make the job look super-ceiling (>100%).
+    host_now = getattr(_scale_pair, "last_probe", None)
+    host = _merge_probe_history(host_now)
     p832 = best["preagg_8v32"]
     job_speedup = (
         p832["local32_tokens_per_sec"] / p832["local8_tokens_per_sec"]
@@ -372,6 +402,7 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
         "preagg_2v8": best["preagg_2v8"],
         "preagg_8v32": best["preagg_8v32"],
         "host_cpu_probe_8v32": host,
+        "host_cpu_probe_current": host_now,
         "preagg_8v32_vs_host_ceiling": (
             round(job_speedup / host["speedup"], 3) if host else None
         ),
@@ -409,6 +440,7 @@ def write_bench_md(queries, meta, scaling) -> None:
     p28 = scaling["preagg_2v8"]
     p832 = scaling["preagg_8v32"]
     host = scaling["host_cpu_probe_8v32"]
+    host_now = scaling.get("host_cpu_probe_current")
 
     def pair_rows(p, low, high):
         return [
@@ -475,8 +507,21 @@ def write_bench_md(queries, meta, scaling) -> None:
             [
                 "| probe | local[8] sec | local[32] sec | speedup (ideal 4x) | max steal |",
                 "|---|---|---|---|---|",
-                f"| pure-CPU JVM | {host['local8_sec']} | {host['local32_sec']} | "
+                f"| pure-CPU JVM (best window) | {host['local8_sec']} | {host['local32_sec']} | "
                 f"**{host['speedup']}x** | {host['max_steal_pct']}% |",
+                *(
+                    [
+                        f"| pure-CPU JVM (this run) | {host_now['local8_sec']} | {host_now['local32_sec']} | "
+                        f"{host_now['speedup']}x | {host_now['max_steal_pct']}% |"
+                    ]
+                    if host_now and host_now is not host
+                    else []
+                ),
+                "",
+                "The ceiling row is the best-observed (cleanest-window) probe",
+                "across bench invocations — a probe sampled inside a steal",
+                "spike understates host capacity; the normalization below",
+                "uses the best window.",
                 "",
                 f"The combiner sketch job reaches {round(4 * p832['efficiency'], 2)}x over the same",
                 f"pair — **{round(100 * scaling['preagg_8v32_vs_host_ceiling'])}% of what the host",
@@ -485,7 +530,7 @@ def write_bench_md(queries, meta, scaling) -> None:
                 "Swept and excluded during tuning: driver heap 8g->24g (no",
                 "change — not GC), shuffle partitions, input splits (64 x",
                 "8MB splits, 2+ waves at 32 cores).  Steal measured DURING",
-                f"this probe run: max {host['max_steal_pct']}% of all CPU time",
+                f"the best-window probe: max {host['max_steal_pct']}% of all CPU time",
                 "(/proc/stat, sampled across the probe window; historical",
                 "sessions on this VM have shown 0-25%, window-dependent).",
                 "The 32 vCPUs are oversubscribed host shares, so 8->32",
