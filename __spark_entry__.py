@@ -958,6 +958,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_mg_topk_doc_tokens_exact(spark, "/root/testdata/sf0.001")
 
 
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (mgspark/pipeline/sampling.py):
+    kept set is a pure function of (doc_id, seed) — zero-shuffle filter,
+    identical on any cluster size; DuckDB computes the same hash."""
+    from mgspark.pipeline.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate=0.1, seed=7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank by (hash, id) within each
+    lang, keep 20 — reproducible uniform-without-replacement draw."""
+    from mgspark.pipeline.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", n_per_stratum=20, seed=3).select(
+        "doc_id", "lang"
+    )
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source keep rates as one
+    deterministic zero-shuffle filter (keep all of src0, 5% of src1,
+    25% of everything else)."""
+    from mgspark.pipeline.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.05}, seed=11,
+        default_rate=0.25,
+    ).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -985,6 +1021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
         "curate_neardup_invariant": q_curate_neardup_invariant,
+        # deterministic sampling (training-data mixtures)
+        "hash_sample_docs": q_hash_sample_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "mixture_sample_docs": q_mixture_sample_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1204,6 +1244,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_oracle(),
         "curate_documents": _curate_oracle(),
+        "hash_sample_docs": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE ((doc_id + 7) * 2654435761) % 4294967296 < 429496729"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY ((doc_id + 3) * 2654435761) % 4294967296 ASC, doc_id ASC) AS rk "
+            "FROM documents) WHERE rk <= 20"
+        ),
+        "mixture_sample_docs": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id + 11) * 2654435761) % 4294967296 < CASE source "
+            "WHEN 'src0' THEN 4294967296 "
+            "WHEN 'src1' THEN 214748364 "
+            "ELSE 1073741824 END"
+        ),
         "curate_neardup_invariant": (
             f"WITH base AS ({_curate_oracle()}) "
             "SELECT COUNT(*)::BIGINT AS n_base, 1::BIGINT AS subset_ok FROM base"

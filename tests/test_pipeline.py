@@ -735,3 +735,59 @@ def test_profile_table_map_column(spark):
     assert prof["meta"]["min_str"] is None
     assert prof["id"]["n_distinct"] == 3
     assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "3"
+
+
+def test_sampling_determinism_and_bounds(spark):
+    """Deterministic sampling: same kept set at any partitioning, rate
+    within binomial bounds, exact per-stratum counts, validation."""
+    from mgspark.pipeline.sampling import (
+        hash_sample,
+        mixture_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 20_000).withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+    kept1 = {r["id"] for r in hash_sample(df, "id", 0.2, seed=5).collect()}
+    kept2 = {
+        r["id"] for r in hash_sample(df.repartition(13), "id", 0.2, seed=5).collect()
+    }
+    assert kept1 == kept2  # partitioning-independent
+    # binomial 5-sigma bounds around 4000
+    assert abs(len(kept1) - 4000) < 5 * (20_000 * 0.2 * 0.8) ** 0.5
+    assert {r["id"] for r in hash_sample(df, "id", 0.2, seed=6).collect()} != kept1
+
+    strat = stratified_sample(df, "grp", "id", n_per_stratum=50, seed=1)
+    counts = {r["grp"]: r["c"] for r in strat.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert set(counts.values()) == {50} and len(counts) == 7
+    # small stratum keeps all rows
+    tiny = stratified_sample(df.where(F.col("id") < 3), "grp", "id", 50)
+    assert tiny.count() == 3
+
+    mix = mixture_sample(df, "grp", "id", {"0": 1.0, "1": 0.0}, default_rate=0.5)
+    got = {r["grp"]: r["c"] for r in mix.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert got["0"] == df.where("grp = '0'").count()
+    assert "1" not in got
+    assert all(0.4 < got[g] / df.where(F.col("grp") == g).count() < 0.6 for g in "23456")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        hash_sample(df, "id", 1.5)
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "grp", "id", 0)
+
+
+def test_hash_sample_is_pure_filter_no_shuffle(spark):
+    """The Bernoulli forms must stay shuffle-free filters (they compose
+    with any plan and scale embarrassingly)."""
+    from mgspark.pipeline.sampling import hash_sample, mixture_sample
+
+    df = spark.range(0, 1000).withColumn("src", F.lit("a"))
+    for sampled in (
+        hash_sample(df, "id", 0.5),
+        mixture_sample(df, "src", "id", {"a": 0.5}),
+    ):
+        plan = sampled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
