@@ -164,6 +164,8 @@ HEADLINE_QUERIES = [
     "pcm_waveform_stats",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
+    "stratified_sample_docs",
+    "mixture_sample_docs",
 ]
 
 

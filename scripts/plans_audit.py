@@ -115,11 +115,30 @@ def main() -> None:
 
     sections.append((
         "n-gram Jaccard, doc-freq capped (scale path)",
-        "The max_doc_freq stop-gram cap is a Window over the gram "
-        "exchange (no extra groupBy+semi-join aggregation pair); the "
-        "static plan duplicates the shared subtree per consumer and AQE "
-        "reuses the identical exchanges at runtime.",
+        "The max_doc_freq stop-gram cap is a map-side-combinable "
+        "groupBy(gram) feeding a BROADCAST anti-join of the tiny "
+        "hot-gram blacklist (BroadcastHashJoin LeftAnti): partial "
+        "aggregation and AQE skew-split apply to the hot gram, unlike a "
+        "Window which would pin all its instances to one task.",
         tree(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8)),
+    ))
+
+    from mgspark.pipeline.sampling import mixture_sample, stratified_sample
+
+    sections.append((
+        "Deterministic mixture sampling: zero-shuffle filter",
+        "No Exchange at all — the per-source keep decision is a CASE + "
+        "seeded-hash comparison inside the codegen Filter, so the "
+        "sampling step composes with any downstream plan at any scale.",
+        tree(mixture_sample(docs, "source", "doc_id", {"src0": 1.0}, default_rate=0.25)),
+    ))
+
+    sections.append((
+        "Stratified sample: one exchange, rank inside",
+        "Exactly the one hash exchange top-n-per-group requires; the "
+        "rank runs over (hash, id) so the draw is uniform yet fully "
+        "reproducible.",
+        tree(stratified_sample(docs, "lang", "doc_id", n_per_stratum=20)),
     ))
 
     lines = [
