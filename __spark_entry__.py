@@ -994,6 +994,45 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (mgspark/pipeline/temporal.py):
+    one window over (user, ts) assigns ids, one groupBy aggregates —
+    integer/formatted outputs so the DuckDB oracle hashes exactly."""
+    from mgspark.pipeline.temporal import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    s = session_stats(ev, "user_id", "ts", gap_seconds=600.0)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        (
+            F.unix_micros(F.col("end_ts").cast("timestamp"))
+            - F.unix_micros(F.col("start_ts").cast("timestamp"))
+        ).alias("duration_us"),
+    )
+
+
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the customer's latest order
+    at-or-before the event time — the scalable union+window plan (one
+    exchange + one sort), oracled against DuckDB's native ASOF JOIN.
+    Orders are pre-aggregated to one row per (custkey, date) so the
+    at-timestamp winner is unique on both engines."""
+    from mgspark.pipeline.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    joined = asof_join(ev, orders, "user_id", "ts", "o_orderdate", ["best_price"])
+    return joined.select("event_id", "user_id", "best_price_asof")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1025,6 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "mixture_sample_docs": q_mixture_sample_docs,
+        # temporal operators
+        "session_stats_events": q_session_stats_events,
+        "asof_join_orders": q_asof_join_orders,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1244,6 +1286,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_oracle(),
         "curate_documents": _curate_oracle(),
+        "session_stats_events": (
+            "WITH flags AS ("
+            "SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, ts, SUM(ns) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id "
+            "FROM flags) "
+            "SELECT user_id, session_id::BIGINT AS session_id, "
+            "COUNT(*)::BIGINT AS n_events, "
+            "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s, "
+            "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s, "
+            "(epoch_us(MAX(ts)) - epoch_us(MIN(ts)))::BIGINT AS duration_us "
+            "FROM sess GROUP BY user_id, session_id"
+        ),
+        "asof_join_orders": (
+            "WITH ords AS (SELECT o_custkey AS user_id, o_orderdate, "
+            "MAX(o_totalprice) AS best_price FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, o.best_price AS best_price_asof "
+            "FROM events e ASOF LEFT JOIN ords o "
+            "ON e.user_id = o.user_id AND e.ts >= o.o_orderdate"
+        ),
         "hash_sample_docs": (
             "SELECT doc_id, lang, source FROM documents "
             "WHERE ((doc_id + 7) * 2654435761) % 4294967296 < 429496729"

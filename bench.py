@@ -166,6 +166,8 @@ HEADLINE_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
     "mixture_sample_docs",
+    "session_stats_events",
+    "asof_join_orders",
 ]
 
 

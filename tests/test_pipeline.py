@@ -791,3 +791,81 @@ def test_hash_sample_is_pure_filter_no_shuffle(spark):
     ):
         plan = sampled._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_sessionize_and_stats(spark):
+    """Gap-based sessions: hand-built truth, tie-robust ids, stats."""
+    from mgspark.pipeline.temporal import session_stats, sessionize
+
+    rows = [
+        # user 1: three events 10s apart, then a 1h gap, then one more
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:00:10"),
+        (1, "2024-01-01 00:00:20"),
+        (1, "2024-01-01 01:00:20"),
+        # user 2: single event
+        (2, "2024-01-01 05:00:00"),
+        # user 3: two simultaneous events (tie) then one past the gap
+        (3, "2024-01-01 00:00:00"),
+        (3, "2024-01-01 00:00:00"),
+        (3, "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts_s string").select(
+        "uid", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    sess = sessionize(df, "uid", "ts", gap_seconds=600)
+    got = {
+        (r["uid"], str(r["ts"]), r["session_id"]) for r in sess.collect()
+    }
+    assert (1, "2024-01-01 00:00:20", 0) in got
+    assert (1, "2024-01-01 01:00:20", 1) in got
+    assert (2, "2024-01-01 05:00:00", 0) in got
+    tie_ids = {r[2] for r in got if r[0] == 3 and r[1] == "2024-01-01 00:00:00"}
+    assert tie_ids == {0}  # ties share a session regardless of order
+    assert (3, "2024-01-01 02:00:00", 1) in got
+
+    stats = {
+        (r["uid"], r["session_id"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(df, "uid", "ts", 600).collect()
+    }
+    assert stats[(1, 0)] == (3, 20.0)
+    assert stats[(1, 1)] == (1, 0.0)
+    assert stats[(3, 0)] == (2, 0.0)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts, per
+    key; inclusive at equal ts; null when no prior right row; null-key
+    right rows never fill; exactly one output row per left row."""
+    from mgspark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:05:00"),
+            (101, 1, "2024-01-01 00:10:00"),
+            (102, 1, "2024-01-01 00:00:30"),  # before any right row
+            (103, 2, "2024-01-01 09:00:00"),  # key with no right rows
+            (104, 3, "2024-01-01 00:01:00"),  # equal-ts right row counts
+        ],
+        "event_id long, uid long, ts_s string",
+    ).select("event_id", "uid", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 10.0),
+            (1, "2024-01-01 00:07:00", 20.0),
+            (3, "2024-01-01 00:01:00", 77.0),
+            (None, "2024-01-01 00:00:00", 999.0),  # must never fill
+        ],
+        "uid long, rts_s string, price double",
+    ).select("uid", F.col("rts_s").cast("timestamp").alias("rts"), "price")
+
+    out = asof_join(left, right, "uid", "ts", "rts", ["price"])
+    got = {r["event_id"]: r["price_asof"] for r in out.collect()}
+    assert out.count() == left.count()
+    assert got == {100: 10.0, 101: 20.0, 102: None, 103: None, 104: 77.0}
+    assert set(out.columns) == {"event_id", "uid", "ts", "price_asof"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="value column"):
+        asof_join(left, right, "uid", "ts", "rts", ["nope"])
