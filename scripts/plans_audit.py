@@ -133,6 +133,34 @@ def main() -> None:
         tree(mixture_sample(docs, "source", "doc_id", {"src0": 1.0}, default_rate=0.25)),
     ))
 
+    from mgspark.pipeline.temporal import asof_join, sessionize
+
+    ev_small = spark.range(1000).select(
+        (F.col("id") % 50).alias("uid"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    rt_small = spark.range(200).select(
+        (F.col("id") % 50).alias("uid"),
+        F.timestamp_seconds(F.col("id") * 3).alias("rts"),
+        (F.col("id") * 2.0).alias("price"),
+    )
+    sections.append((
+        "Sessionization: one exchange, one sort, fused windows",
+        "The lag flag and the running session counter share a single "
+        "Window operator over one (key) exchange + one (key, ts) sort — "
+        "the minimum any per-entity temporal operator needs.",
+        tree(sessionize(ev_small, "uid", "ts", 600)),
+    ))
+
+    sections.append((
+        "As-of join: union + window, never a nested loop",
+        "A time-inequality theta join degenerates to a per-key nested "
+        "loop in Spark; this plan is the union trick — tag sides, one "
+        "exchange, one sort, last(ignoreNulls) propagation — O(n log n) "
+        "per partition at any scale.",
+        tree(asof_join(ev_small, rt_small, "uid", "ts", "rts", ["price"])),
+    ))
+
     sections.append((
         "Stratified sample: one exchange, rank inside",
         "Exactly the one hash exchange top-n-per-group requires; the "

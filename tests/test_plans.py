@@ -179,3 +179,50 @@ def test_mg_topk_probe_scans_single_column(docs):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "lang" in read_schema[0]
     assert "text" not in read_schema[0], "probe must not read the text column"
+
+
+def test_asof_join_single_exchange_no_nested_loop(docs):
+    """The as-of join must be the union+window plan: exactly one hash
+    exchange on the key (plus AQE reads), ONE Window, and never a
+    nested-loop/cartesian join (what a time-inequality theta join
+    degenerates to)."""
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.temporal import asof_join
+
+    spark = docs.sparkSession
+    left = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 7).alias("rts"),
+        (F.col("id") * 2.0).alias("price"),
+    )
+    plan = _formatted(
+        asof_join(left, right, "k", "ts", "rts", ["price"])
+    ).split("\n\n")[0]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Window (") == 1
+    # one exchange for the window partitioning (the union sides are
+    # range sources here; parquet sides would add their scans only)
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_sessionize_one_exchange_two_windows_share_sort(docs):
+    """Sessionization must reuse ONE exchange + ONE sort for both the
+    lag and the running-sum windows (same partitioning/ordering)."""
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.temporal import sessionize
+
+    spark = docs.sparkSession
+    ev = spark.range(1000).select(
+        (F.col("id") % 50).alias("uid"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    plan = _formatted(sessionize(ev, "uid", "ts", 600)).split("\n\n")[0]
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Sort (") == 1, plan
