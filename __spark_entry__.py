@@ -1033,6 +1033,23 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "best_price_asof")
 
 
+def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling features over events — RANGE
+    frame on integer epoch micros (mgspark/pipeline/temporal.py), the
+    shape a time-inequality self-join would make quadratic.  Sum/mean
+    emitted as micro-scaled integers so the hash is float-tie-free."""
+    from mgspark.pipeline.temporal import rolling_features
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_features(ev, "user_id", "ts", "value", 3600.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        "roll_n",
+        F.round(F.col("roll_sum") * 1000).cast("long").alias("roll_sum_milli"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1067,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
+        "rolling_event_features": q_rolling_event_features,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1307,6 +1325,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, o.best_price AS best_price_asof "
             "FROM events e ASOF LEFT JOIN ords o "
             "ON e.user_id = o.user_id AND e.ts >= o.o_orderdate"
+        ),
+        "rolling_event_features": (
+            "SELECT event_id, user_id, "
+            "COUNT(value) OVER w::BIGINT AS roll_n, "
+            "ROUND(SUM(value) OVER w * 1000)::BIGINT AS roll_sum_milli "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         "hash_sample_docs": (
             "SELECT doc_id, lang, source FROM documents "

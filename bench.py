@@ -168,6 +168,7 @@ HEADLINE_QUERIES = [
     "mixture_sample_docs",
     "session_stats_events",
     "asof_join_orders",
+    "rolling_event_features",
 ]
 
 

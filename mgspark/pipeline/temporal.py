@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "asof_join"]
+__all__ = ["sessionize", "session_stats", "asof_join", "rolling_features"]
 
 
 def _epoch_sec(col: Column) -> Column:
@@ -147,4 +147,45 @@ def asof_join(
     return filled.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{i}").alias(c) for i, c in enumerate(lcols)],
         *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: float,
+    prefix: str = "roll",
+) -> DataFrame:
+    """Trailing time-window features per entity: for every row, the
+    count / sum / mean of ``value_col`` over the entity's events in
+    ``[ts - window_seconds, ts]`` (inclusive both ends).
+
+    A RANGE window frame over integer epoch MICROseconds (RANGE
+    boundaries must be integral and exact; float-second frames would
+    also blur the inclusive edges) — Spark evaluates it with
+    the same one exchange + one sort as :func:`sessionize` and a
+    sliding-frame aggregator that is O(1) amortized per row, not
+    O(window).  This is the standard feature-engineering shape ("events
+    in the last hour") that a self-join on time inequality would make
+    quadratic.  All rows at the same timestamp see the same frame
+    (RANGE semantics), so results are tie-robust and exactly
+    SQL-oracle-able.
+
+    Output: the input plus ``{prefix}_n``, ``{prefix}_sum``,
+    ``{prefix}_mean``.
+    """
+    if window_seconds < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    window_us = int(round(float(window_seconds) * 1_000_000))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")).asc())
+        .rangeBetween(-window_us, 0)
+    )
+    return (
+        df.withColumn(f"{prefix}_n", F.count(F.col(value_col)).over(w))
+        .withColumn(f"{prefix}_sum", F.sum(F.col(value_col)).over(w))
+        .withColumn(f"{prefix}_mean", F.avg(F.col(value_col)).over(w))
     )

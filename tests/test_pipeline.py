@@ -869,3 +869,38 @@ def test_asof_join_semantics(spark):
 
     with _pytest.raises(ValueError, match="value column"):
         asof_join(left, right, "uid", "ts", "rts", ["nope"])
+
+
+def test_rolling_features_truth(spark):
+    """Trailing-window features vs hand truth, incl. inclusive frame
+    edges and tie handling (RANGE: equal-ts rows share the frame)."""
+    from mgspark.pipeline.temporal import rolling_features
+
+    rows = [
+        (1, 0, 1.0),
+        (1, 50, 2.0),
+        (1, 60, 4.0),    # window 60: includes ts=0 (inclusive lower edge)
+        (1, 200, 8.0),   # isolated
+        (2, 60, 16.0),   # other key, never mixed
+        (2, 60, 32.0),   # tie: both see both rows
+    ]
+    df = spark.createDataFrame(rows, "uid long, sec long, v double").select(
+        "uid", F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    out = {
+        (r["uid"], r["sec"], r["v"]): (r["roll_n"], r["roll_sum"])
+        for r in rolling_features(df, "uid", "ts", "v", 60.0)
+        .withColumn("sec", F.unix_seconds(F.col("ts").cast("timestamp")))
+        .collect()
+    }
+    assert out[(1, 0, 1.0)] == (1, 1.0)
+    assert out[(1, 50, 2.0)] == (2, 3.0)
+    assert out[(1, 60, 4.0)] == (3, 7.0)
+    assert out[(1, 200, 8.0)] == (1, 8.0)
+    assert out[(2, 60, 16.0)] == (2, 48.0)
+    assert out[(2, 60, 32.0)] == (2, 48.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_seconds"):
+        rolling_features(df, "uid", "ts", "v", -1)
