@@ -1036,8 +1036,9 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling features over events — RANGE
     frame on integer epoch micros (mgspark/pipeline/temporal.py), the
-    shape a time-inequality self-join would make quadratic.  Sum/mean
-    emitted as micro-scaled integers so the hash is float-tie-free."""
+    shape a time-inequality self-join would make quadratic in output.
+    The sum is emitted milli-scaled (x1000, rounded to bigint) so the
+    hash is float-tie-free."""
     from mgspark.pipeline.temporal import rolling_features
 
     ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")

@@ -359,7 +359,11 @@ def _merge_probe_history(host: dict | None) -> dict | None:
         except (OSError, ValueError):
             history = {}
     prev = history.get("host_probe_best")
-    cand = [p for p in (prev, host) if p]
+    # Same physical-impossibility guard as the pair-efficiency merge: a
+    # steal window hitting only the local[8] leg INFLATES the probe's
+    # speedup; anything above the 4x ideal (+2% tolerance) is an
+    # artifact and must never be pinned as the host ceiling.
+    cand = [p for p in (prev, host) if p and p["speedup"] <= 4.08]
     if not cand:
         return None
     best = max(cand, key=lambda p: p["speedup"])

@@ -48,9 +48,21 @@ def sample_hash_expr(id_col: str, seed: int = 0) -> Column:
     engine)."""
     if not 0 <= int(seed) < (1 << 30):
         raise ValueError(f"seed must be in [0, 2^30), got {seed}")
-    return F.pmod(
-        (F.col(id_col).cast("bigint") + F.lit(int(seed))) * F.lit(_KNUTH),
-        F.lit(_MOD),
+    id_val = F.col(id_col).cast("bigint")
+    hash_val = F.pmod((id_val + F.lit(int(seed))) * F.lit(_KNUTH), F.lit(_MOD))
+    # Enforce the precondition in-expression: an out-of-range id would
+    # not error — it would silently produce a DIFFERENT sample than the
+    # oracle/another engine (Spark pmod is non-negative, SQL % keeps the
+    # dividend sign; >= 2^31 overflows the product differently).  One
+    # branch per row, still whole-stage codegen.
+    return F.when((id_val >= 0) & (id_val < F.lit(1 << 31)), hash_val).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sampling id {id_col}="),
+                id_val.cast("string"),
+                F.lit(" outside [0, 2^31) — the cross-engine determinism precondition"),
+            )
+        ).cast("bigint")
     )
 
 
@@ -87,10 +99,13 @@ def stratified_sample(
     w = Window.partitionBy(strata_col).orderBy(
         sample_hash_expr(id_col, seed).asc(), F.col(id_col).asc()
     )
+    rk = "_rk"
+    while rk in df.columns:  # never clobber a caller column
+        rk += "_"
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n_per_stratum)
+        .drop(rk)
     )
 
 

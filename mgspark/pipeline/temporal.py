@@ -45,8 +45,12 @@ def sessionize(
     the running count of session-start flags — one window over
     (key, ts).  Tied timestamps are order-independent by construction
     (a zero gap never starts a session), so ids are deterministic even
-    though the sort may order ties differently per run/engine.
+    though the sort may order ties differently per run/engine — which is
+    also why the gap must be non-negative (a negative gap would make
+    every tie a nondeterministic session start).
     """
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (
@@ -111,6 +115,11 @@ def asof_join(
     for c in value_cols:
         if c not in right.columns:
             raise ValueError(f"value column {c!r} not in right side")
+        if f"{c}{suffix}" in left.columns:
+            raise ValueError(
+                f"output column '{c}{suffix}' collides with a left column; "
+                "pass a different suffix"
+            )
     lcols = left.columns
     tagged_left = left.select(
         F.col(key_col).alias("_k"),
@@ -126,11 +135,14 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{i}") for i, c in enumerate(lcols)],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
-    # SQL ASOF equality never matches a null key: right rows with a null
-    # key must not fill anything (the window would otherwise group them
-    # with null-key left rows); null-key left rows survive with null
-    # as-of values.
-    unioned = tagged_left.unionByName(tagged_right.where(F.col("_k").isNotNull()))
+    # SQL ASOF semantics: a null key never matches (equality) and a null
+    # right timestamp never satisfies right.ts <= left.ts — drop both
+    # from the fill side (null-ts rows would otherwise sort FIRST and
+    # fill every left row that has no earlier real right row).  Null-key
+    # or null-ts left rows survive with null as-of values.
+    unioned = tagged_left.unionByName(
+        tagged_right.where(F.col("_k").isNotNull() & F.col("_ts").isNotNull())
+    )
     w = (
         Window.partitionBy("_k")
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
@@ -165,11 +177,15 @@ def rolling_features(
     A RANGE window frame over integer epoch MICROseconds (RANGE
     boundaries must be integral and exact; float-second frames would
     also blur the inclusive edges) — Spark evaluates it with
-    the same one exchange + one sort as :func:`sessionize` and a
-    sliding-frame aggregator that is O(1) amortized per row, not
-    O(window).  This is the standard feature-engineering shape ("events
-    in the last hour") that a self-join on time inequality would make
-    quadratic.  All rows at the same timestamp see the same frame
+    the same one exchange + one sort as :func:`sessionize`.  Cost
+    caveat: Spark has no retractable aggregates, so the sliding frame
+    re-aggregates from its lower bound each time it moves —
+    O(rows-in-window) per row worst case, not O(1); still bounded by
+    the window span per row, versus a time-inequality self-join which
+    materializes every pair AND pays the join.  Entities hot enough to
+    hold ~millions of events inside one window should be pre-thinned
+    (:func:`mgspark.pipeline.sampling.hash_sample`) or time-bucketed
+    first.  All rows at the same timestamp see the same frame
     (RANGE semantics), so results are tie-robust and exactly
     SQL-oracle-able.
 

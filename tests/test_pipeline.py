@@ -904,3 +904,43 @@ def test_rolling_features_truth(spark):
 
     with _pytest.raises(ValueError, match="window_seconds"):
         rolling_features(df, "uid", "ts", "v", -1)
+
+
+def test_sampling_rejects_out_of_range_ids(spark):
+    """Out-of-range ids must raise, not silently diverge from the
+    cross-engine hash (negative ids: pmod vs sign-of-dividend %)."""
+    import pytest as _pytest
+
+    from mgspark.pipeline.sampling import hash_sample
+
+    bad = spark.range(-5, 5)
+    with _pytest.raises(Exception, match="outside \\[0, 2\\^31\\)"):
+        hash_sample(bad, "id", 0.5).collect()
+    with _pytest.raises(Exception, match="outside"):
+        hash_sample(spark.range(1 << 31, (1 << 31) + 2), "id", 0.5).collect()
+
+
+def test_asof_join_null_right_ts_never_fills(spark):
+    """A right row with a null timestamp must not fill any left row
+    (right.ts <= left.ts is never true for NULL), matching SQL ASOF."""
+    from mgspark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:05:00")], "event_id long, uid long, ts_s string"
+    ).select("event_id", "uid", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 10.0)], "uid long, rts_s string, price double"
+    ).select("uid", F.col("rts_s").cast("timestamp").alias("rts"), "price")
+    out = asof_join(left, right, "uid", "ts", "rts", ["price"]).collect()
+    assert len(out) == 1 and out[0]["price_asof"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left.withColumn("price_asof", F.lit(0.0)), right, "uid", "ts", "rts", ["price"]
+        )
+    from mgspark.pipeline.temporal import sessionize
+
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(left, "uid", "ts", -1)
