@@ -1051,6 +1051,31 @@ def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (native session_window, 10-min gap) per
+    user over the events file stream — bounded complete-mode run; window
+    bounds and counts equal the batch gap-sessionization oracle (a
+    session spans [first_ts, last_ts + gap); a >= gap silence splits)."""
+    from mgspark.streaming import streaming_session_windows
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_session_windows(stream, "user_id", "ts", gap="10 minutes")
+    name = _run_stream_to_memory(out, "sess_win", "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1121,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_event_counts": q_streaming_windowed_event_counts,
         "streaming_mg_event_type": q_streaming_mg_event_type,
         "streaming_dedup_exact_count": q_streaming_dedup_exact_count,
+        "streaming_session_windows": q_streaming_session_windows,
     }
 
 
@@ -1333,6 +1359,17 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value) OVER w * 1000)::BIGINT AS roll_sum_milli "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        "streaming_session_windows": (
+            "WITH flags AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, ts, SUM(ns) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flags) "
+            "SELECT user_id, "
+            "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "COUNT(*)::BIGINT AS n_events FROM sess GROUP BY user_id, sid"
         ),
         "hash_sample_docs": (
             "SELECT doc_id, lang, source FROM documents "

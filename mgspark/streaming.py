@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 
 from mgspark.kernel import MGState, mg_build_weighted
 
-__all__ = ["mg_streaming_sketch", "windowed_token_counts", "streaming_dedup_exact"]
+__all__ = ["mg_streaming_sketch", "windowed_token_counts", "streaming_dedup_exact", "streaming_session_windows"]
 
 STREAM_OUTPUT_SCHEMA = StructType(
     [
@@ -185,5 +185,37 @@ def windowed_token_counts(
             F.col("win.start").alias("window_start"),
             F.col(token_col).alias("token"),
             "cnt",
+        )
+    )
+
+
+def streaming_session_windows(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows per entity: Spark's native
+    ``session_window`` merge (state closes ``gap`` after the last event,
+    late data bounded by ``watermark``) — the streaming twin of
+    ``mgspark.pipeline.temporal.sessionize``; a session window is
+    ``[first_ts, last_ts + gap)``, and a new session starts when the gap
+    to the previous event is >= ``gap`` (touching windows do not merge).
+
+    Output: (key, session_start, session_end, n_events) per closed (or
+    complete-mode emitted) session.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_sw"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
         )
     )

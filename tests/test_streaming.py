@@ -150,3 +150,56 @@ def test_windowed_token_counts(spark, tmp_path):
     assert len(got) == 4, got
     for (ws, tok), cnt in got.items():
         assert cnt == (2 if tok == "a" else 1)
+
+
+def test_streaming_session_windows_vs_batch_sessionize(spark, tmp_path):
+    """The streaming session_window op must produce exactly the batch
+    gap-sessionization: same sessions, same [first, last+gap) bounds."""
+    import pandas as pd
+
+    from mgspark.pipeline.temporal import session_stats
+    from mgspark.streaming import streaming_session_windows
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(5):
+        t = base + pd.Timedelta(minutes=uid)
+        for burst in range(3):
+            for j in range(4):
+                rows.append({"uid": uid, "ts": t})
+                t += pd.Timedelta(minutes=2)
+            t += pd.Timedelta(minutes=30)  # > 10-minute gap: new session
+    pdf = pd.DataFrame(rows)
+    # Spark timestamps are microseconds; pandas defaults to nanos, which
+    # the parquet stream reader rejects as INT64.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(src / "ev.parquet"), index=False)
+
+    stream = spark.readStream.schema("uid long, ts timestamp").parquet(str(src))
+    out = streaming_session_windows(stream, "uid", "ts", gap="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["uid"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sess_win_test").collect()
+    }
+    batch = spark.read.parquet(str(src)).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        (
+            r["uid"],
+            str(r["start_ts"]),
+            str(r["end_ts"] + __import__("datetime").timedelta(minutes=10)),
+            r["n_events"],
+        )
+        for r in session_stats(batch, "uid", "ts", gap_seconds=600).collect()
+    }
+    assert len(got) == 15  # 5 users x 3 bursts
+    assert got == expected
