@@ -1055,7 +1055,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (native session_window, 10-min gap) per
     user over the events file stream — bounded complete-mode run; window
     bounds and counts equal the batch gap-sessionization oracle (a
-    session spans [first_ts, last_ts + gap); a >= gap silence splits)."""
+    session spans [first_ts, last_ts + gap); a silence STRICTLY longer
+    than the gap splits — touching windows merge, same boundary as the
+    batch sessionize's `> gap_seconds`)."""
     from mgspark.streaming import streaming_session_windows
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -1362,7 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_session_windows": (
             "WITH flags AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
-            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 THEN 1 ELSE 0 END AS ns "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
             "sess AS (SELECT user_id, ts, SUM(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flags) "

@@ -17,10 +17,21 @@ from collections import deque
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["transient_persist"]
+__all__ = ["transient_persist", "clear_transient_caches"]
 
 _MAX_TRANSIENT_CACHES = 8
 _RECENT: deque[DataFrame] = deque()
+
+
+def clear_transient_caches() -> None:
+    """Unpersist every registered transient cache (cold-measurement
+    hook: identical rebuilt plans would otherwise be served from the
+    CacheManager across bench passes)."""
+    while _RECENT:
+        try:
+            _RECENT.popleft().unpersist()
+        except Exception:
+            pass
 
 
 def transient_persist(

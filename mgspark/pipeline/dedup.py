@@ -600,6 +600,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    eager_cache: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
 
@@ -617,20 +618,19 @@ def ngram_jaccard_pairs(
     """
     from mgspark.cacheutil import transient_persist
 
+    toks = F.split(F.col(text_col), " ")
+    # Docs shorter than n tokens have zero grams; without the guard,
+    # sequence(0, size-n) turns DESCENDING for size < n (Spark defaults
+    # step to -1) and slice(..., 0, n) then kills the job.
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.size(F.split(F.col(text_col), " ")) - n
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
-                    ),
-                )
-            ).alias("gram"),
-        )
+        df.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram"))
         .distinct()
     )
     # The gram relation feeds 3-4 consumers (hot-gram blacklist, both
@@ -641,7 +641,10 @@ def ngram_jaccard_pairs(
     # minhash: concurrent first consumers otherwise each recompute
     # before a cache block lands.
     grams = transient_persist(grams)
-    grams.count()
+    if eager_cache:
+        # Plan-only callers (explain audits, plan tests) pass False to
+        # keep construction side-effect-free.
+        grams.count()
     if max_doc_freq is not None:
         # Hot-gram blacklist via groupBy + BROADCAST anti-join rather
         # than a Window count over gram: the whole point of the cap is

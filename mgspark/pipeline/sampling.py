@@ -54,13 +54,18 @@ def sample_hash_expr(id_col: str, seed: int = 0) -> Column:
     # not error — it would silently produce a DIFFERENT sample than the
     # oracle/another engine (Spark pmod is non-negative, SQL % keeps the
     # dividend sign; >= 2^31 overflows the product differently).  One
-    # branch per row, still whole-stage codegen.
-    return F.when((id_val >= 0) & (id_val < F.lit(1 << 31)), hash_val).otherwise(
+    # branch per row, still whole-stage codegen.  A NULL id passes
+    # through as a NULL hash (every comparison then filters the row —
+    # identically in SQL), matching pre-guard behavior; format_string is
+    # null-tolerant so a non-null violation always names itself.
+    return F.when(
+        id_val.isNull() | ((id_val >= 0) & (id_val < F.lit(1 << 31))), hash_val
+    ).otherwise(
         F.raise_error(
-            F.concat(
-                F.lit(f"sampling id {id_col}="),
+            F.format_string(
+                f"sampling id {id_col}=%s outside [0, 2^31) — "
+                "the cross-engine determinism precondition",
                 id_val.cast("string"),
-                F.lit(" outside [0, 2^31) — the cross-engine determinism precondition"),
             )
         ).cast("bigint")
     )

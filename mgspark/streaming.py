@@ -200,8 +200,10 @@ def streaming_session_windows(
     ``session_window`` merge (state closes ``gap`` after the last event,
     late data bounded by ``watermark``) — the streaming twin of
     ``mgspark.pipeline.temporal.sessionize``; a session window is
-    ``[first_ts, last_ts + gap)``, and a new session starts when the gap
-    to the previous event is >= ``gap`` (touching windows do not merge).
+    ``[first_ts, last_ts + gap)``, and a new session starts only when
+    the silence since the previous event STRICTLY exceeds ``gap``
+    (touching windows merge — verified identical to the batch
+    ``sessionize``'s ``> gap_seconds`` boundary).
 
     Output: (key, session_start, session_end, n_events) per closed (or
     complete-mode emitted) session.

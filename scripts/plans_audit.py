@@ -120,7 +120,7 @@ def main() -> None:
         "hot-gram blacklist (BroadcastHashJoin LeftAnti): partial "
         "aggregation and AQE skew-split apply to the hot gram, unlike a "
         "Window which would pin all its instances to one task.",
-        tree(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8)),
+        tree(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8, eager_cache=False)),
     ))
 
     from mgspark.pipeline.sampling import mixture_sample, stratified_sample

@@ -944,3 +944,31 @@ def test_asof_join_null_right_ts_never_fills(spark):
 
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize(left, "uid", "ts", -1)
+
+
+def test_ngram_short_docs_yield_no_grams(spark):
+    """Docs with fewer than n tokens (or empty) must contribute zero
+    grams, not crash the job (sequence() turns descending for size<n)."""
+    from mgspark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "just two"),
+            (2, ""),
+            (3, "a b c d e f g h"),
+            (4, "a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+
+
+def test_hash_sample_null_ids_filtered_not_raised(spark):
+    """NULL ids hash to NULL and are filtered consistently (SQL
+    semantics), never raised."""
+    from mgspark.pipeline.sampling import hash_sample
+
+    df = spark.createDataFrame([(0,), (1,), (None,)], "id long")
+    kept = hash_sample(df, "id", 1.0).collect()
+    assert {r["id"] for r in kept} == {0, 1}

@@ -151,10 +151,10 @@ def test_ngram_doc_freq_cap_is_broadcast_anti_join(docs):
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
     uncapped = _formatted(
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, eager_cache=False)
     ).split("\n\n")[0]
     capped = _formatted(
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8)
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8, eager_cache=False)
     ).split("\n\n")[0]
     assert "Window" not in capped and "Window" not in uncapped
     anti = [l for l in capped.splitlines() if "Join" in l and "LeftAnti" in l]

@@ -171,6 +171,11 @@ def test_streaming_session_windows_vs_batch_sessionize(spark, tmp_path):
                 rows.append({"uid": uid, "ts": t})
                 t += pd.Timedelta(minutes=2)
             t += pd.Timedelta(minutes=30)  # > 10-minute gap: new session
+    # Exact-gap boundary pin: two events exactly 10 minutes apart MERGE
+    # (session_window and batch sessionize both split only on silence
+    # STRICTLY exceeding the gap).
+    rows.append({"uid": 99, "ts": base})
+    rows.append({"uid": 99, "ts": base + pd.Timedelta(minutes=10)})
     pdf = pd.DataFrame(rows)
     # Spark timestamps are microseconds; pandas defaults to nanos, which
     # the parquet stream reader rejects as INT64.
@@ -201,5 +206,6 @@ def test_streaming_session_windows_vs_batch_sessionize(spark, tmp_path):
         )
         for r in session_stats(batch, "uid", "ts", gap_seconds=600).collect()
     }
-    assert len(got) == 15  # 5 users x 3 bursts
+    assert len(got) == 16  # 5 users x 3 bursts + the exact-gap merge
     assert got == expected
+    assert sum(1 for g in got if g[0] == 99) == 1  # merged, not split
