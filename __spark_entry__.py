@@ -1078,6 +1078,34 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_grouped_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct (users per event_type) through the salted
+    grouped sketch UDAF (sketches/base.py sketch_agg_grouped) — the
+    groupBy(g).agg(sketch(x)) shape.  Hash-deterministic, so each
+    group's exact distinct (DuckDB-recomputed) plus a within-2.5%-bound
+    flag is a fixed oracle fact."""
+    from mgspark.sketches.hll import hll_distinct_grouped
+
+    events = _read(spark, sf_dir, "events")
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in hll_distinct_grouped(events, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("c"))
+        .collect()
+    }
+    rows = [
+        (g, int(exact[g]), 1 if abs(est[g] - exact[g]) <= 0.025 * exact[g] else 0)
+        for g in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, true_distinct long, within_bound long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1142,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked invariants of the approximate operators
         "mg_sketch_bound_doc_tokens": q_mg_sketch_bound_doc_tokens,
         "hll_vs_exact_user_id": q_hll_vs_exact_user_id,
+        "hll_grouped_event_type": q_hll_grouped_event_type,
         "quantile_rank_bounds": q_quantile_rank_bounds,
         "ann_recall_vs_exact": q_ann_recall_vs_exact,
         # structured streaming (bounded availableNow runs)
@@ -1403,6 +1432,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_vs_exact_user_id": (
             "SELECT COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "
             "1::BIGINT AS within_bound FROM events"
+        ),
+        "hll_grouped_event_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "
+            "1::BIGINT AS within_bound FROM events GROUP BY event_type"
         ),
         "quantile_rank_bounds": (
             "WITH targets AS (SELECT unnest(['tdigest', 'kll']) AS sketch, "

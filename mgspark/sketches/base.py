@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MergeableSketch", "sketch_partials", "sketch_tree_merge", "sketch_agg", "splitmix64"]
+__all__ = ["MergeableSketch", "sketch_partials", "sketch_tree_merge", "sketch_agg", "sketch_agg_grouped", "splitmix64"]
 
 SKETCH_PARTIAL_SCHEMA = StructType(
     [
@@ -195,3 +195,70 @@ def sketch_agg(
     if len(rows) != 1:
         raise AssertionError(f"tree merge left {len(rows)} rows; round planning bug")
     return sketch.deserialize(bytes(rows[0]["payload"]))
+
+
+GROUPED_PARTIAL_SCHEMA_SUFFIX = [
+    StructField("payload", BinaryType(), False),
+    StructField("rows", LongType(), False),
+]
+
+
+def sketch_agg_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sketch: MergeableSketch,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Per-group sketches as a distributed DataFrame: one serialized
+    state per group value — the ``df.groupBy(g).agg(sketch(x))`` shape
+    PySpark cannot express as a Python UDAF.
+
+    Two-stage salted plan (mirroring the grouped MG path): stage 1
+    groups by ``(group, salt(value))`` so a single hot group fans across
+    up to ``num_salts`` tasks instead of straggling on one; stage 2
+    merges each group's <= ``num_salts`` partial payloads.  Both stages
+    are ``applyInPandas`` folds over the vectorized kernel; shuffle
+    volume after stage 1 is O(groups x num_salts x sketch-size) bytes,
+    independent of row count.  Salting is by the VALUE hash, so
+    identical rows split across salts (a group-constant salt could
+    not).
+
+    Output: (group_col, payload binary, rows long); map the family's
+    ``estimate``/query over the payloads (e.g. HLL distinct per group).
+    Null group values form their own group, matching SQL GROUP BY.
+    """
+    group_type = df.schema[group_col].dataType
+    partial_schema = StructType(
+        [StructField(group_col, group_type, True), *GROUPED_PARTIAL_SCHEMA_SUFFIX]
+    )
+
+    salted = df.select(
+        F.col(group_col), F.col(value_col).alias("_v")
+    ).withColumn("_salt", F.pmod(F.xxhash64("_v"), F.lit(num_salts)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = sketch.build(sketch.zero(), pdf["_v"])
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "payload": [sketch.serialize(state)],
+                "rows": [len(pdf)],
+            }
+        )
+
+    partials = salted.groupBy(group_col, "_salt").applyInPandas(fold, partial_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = sketch.zero()
+        for blob in pdf["payload"]:
+            state = sketch.merge(state, sketch.deserialize(bytes(blob)))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "payload": [sketch.serialize(state)],
+                "rows": [int(pdf["rows"].sum())],
+            }
+        )
+
+    return partials.groupBy(group_col).applyInPandas(merge_group, partial_schema)

@@ -16,7 +16,7 @@ import pandas as pd
 
 from mgspark.sketches.base import MergeableSketch, splitmix64
 
-__all__ = ["HLLSketch"]
+__all__ = ["HLLSketch", "hll_distinct_grouped"]
 
 
 def _floor_log2_u64(w: np.ndarray) -> np.ndarray:
@@ -79,3 +79,42 @@ class HLLSketch(MergeableSketch):
         if raw <= 2.5 * self.m and zeros > 0:
             return self.m * math.log(self.m / zeros)  # linear counting
         return float(raw)
+
+
+def hll_distinct_grouped(
+    df, group_col: str, value_col: str, p: int = 14, num_salts: int = 16
+):
+    """Per-group distinct-count estimates: (group, n_distinct_est long).
+
+    The ``groupBy(g).agg(approx_count_distinct)`` shape, but through the
+    engine's own mergeable HLL (salted two-stage
+    :func:`mgspark.sketches.base.sketch_agg_grouped`, so one hot group
+    cannot straggle).  ``value_col`` must be an int64 hashed/identifier
+    column (the module's input contract).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mgspark.sketches.base import sketch_agg_grouped
+
+    sk = HLLSketch(p)
+    payloads = sketch_agg_grouped(df, group_col, value_col, sk, num_salts)
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("n_distinct_est", LongType(), False),
+        ]
+    )
+
+    def estimate(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "n_distinct_est": [
+                        int(round(sk.estimate(sk.deserialize(bytes(b)))))
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(estimate, schema)

@@ -101,3 +101,34 @@ def test_sketch_agg_checkpoint_resume(spark, tables, tmp_path):
     # resume: empty input + existing checkpoint reproduces the state
     s2 = sketch_agg(encoded.limit(0), "_key", sk, checkpoint_dir=ckpt)
     assert np.array_equal(s1, s2)
+
+
+def test_hll_distinct_grouped_accuracy_and_nulls(spark):
+    """Per-group HLL estimates within the published error bound (~1.04/
+    sqrt(2^p), p=14 -> ~0.8%); a null group forms its own group like
+    SQL GROUP BY; groups never bleed into each other."""
+    from pyspark.sql import functions as F
+
+    from mgspark.sketches.hll import hll_distinct_grouped
+
+    df = (
+        spark.range(0, 60_000)
+        .select(
+            F.when(F.col("id") % 3 == 0, "a")
+            .when(F.col("id") % 3 == 1, "b")
+            .otherwise(None)
+            .alias("grp"),
+            # distinct cardinality differs per group: a -> id/1, b -> id/2...
+            (F.col("id") - F.pmod(F.col("id"), F.when(F.col("grp").isNull(), 4).otherwise(
+                F.when(F.col("grp") == "a", 1).otherwise(2)
+            ))).alias("v"),
+        )
+    )
+    est = {r["grp"]: r["n_distinct_est"] for r in hll_distinct_grouped(df, "grp", "v", p=14).collect()}
+    exact = {
+        r["grp"]: r["c"]
+        for r in df.groupBy("grp").agg(F.count_distinct("v").alias("c")).collect()
+    }
+    assert set(est) == set(exact) == {"a", "b", None}
+    for g, true in exact.items():
+        assert abs(est[g] - true) / true < 0.05, (g, est[g], true)
