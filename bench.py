@@ -145,6 +145,7 @@ HEADLINE_QUERIES = [
     "mg_private_topk_event_type",
     "mg_grouped_lang_by_source",
     "hll_distinct_user_id",
+    "hll_grouped_event_type",
     "tdigest_price_quantiles",
     "cms_returnflag",
     "bloom_orders_custkey",
