@@ -1099,7 +1099,10 @@ def q_hll_grouped_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = [
         (g, int(exact[g]), 1 if abs(est[g] - exact[g]) <= 0.025 * exact[g] else 0)
-        for g in sorted(exact)
+        # None-robust sort: a null group would make sorted() raise on
+        # None < str even though the library and the SQL oracle both
+        # support null groups.
+        for g in sorted(exact, key=lambda k: (k is None, k))
     ]
     return spark.createDataFrame(
         rows, "event_type string, true_distinct long, within_bound long"

@@ -198,6 +198,7 @@ def sketch_agg(
 
 
 GROUPED_PARTIAL_SCHEMA_SUFFIX = [
+    StructField("_salt", LongType(), False),
     StructField("payload", BinaryType(), False),
     StructField("rows", LongType(), False),
 ]
@@ -209,53 +210,120 @@ def sketch_agg_grouped(
     value_col: str,
     sketch: MergeableSketch,
     num_salts: int = 16,
+    mode: str = "auto",
+    mapside_group_cap: int = 1024,
 ) -> DataFrame:
     """Per-group sketches as a distributed DataFrame: one serialized
     state per group value — the ``df.groupBy(g).agg(sketch(x))`` shape
     PySpark cannot express as a Python UDAF.
 
-    Two-stage salted plan (mirroring the grouped MG path): stage 1
-    groups by ``(group, salt(value))`` so a single hot group fans across
-    up to ``num_salts`` tasks instead of straggling on one; stage 2
-    merges each group's <= ``num_salts`` partial payloads.  Both stages
-    are ``applyInPandas`` folds over the vectorized kernel; shuffle
-    volume after stage 1 is O(groups x num_salts x sketch-size) bytes,
-    independent of row count.  Salting is by the VALUE hash, so
-    identical rows split across salts (a group-constant salt could
-    not).
+    Two plans, selected by ``mode``:
 
-    Output: (group_col, payload binary, rows long); map the family's
-    ``estimate``/query over the payloads (e.g. HLL distinct per group).
-    Null group values form their own group, matching SQL GROUP BY.
+    * ``"mapside"`` — stage 1 is a ZERO-input-shuffle ``mapInPandas``
+      over the scan partitions, each task folding a dict of per-group
+      states (the map-side-combine shape of a hash aggregate); only
+      O(partitions x groups x sketch-size) partial rows shuffle into
+      the per-group merge.  Right whenever the distinct group count is
+      modest (task memory holds groups x sketch-size).
+    * ``"shuffle"`` — stage 1 shuffles rows by ``(group, salt)`` where
+      the salt derives from the INPUT PARTITION id, so both a hot group
+      and a hot identical value fan across up to ``num_salts`` cells.
+      (Splitting identical rows across cells is multiset-correct for
+      every mergeable family — sketch(A ⊎ B) = merge(sketch(A),
+      sketch(B)) — unlike the grouped MG path, whose pre-aggregated
+      counts force equal rows into one bucket.)  Stage-1 shuffle volume
+      is O(rows); use it when group cardinality is too high for the
+      map-side dict.
+    * ``"auto"`` — one JVM-only ``approx_count_distinct`` probe on the
+      group column picks map-side iff groups <= ``mapside_group_cap``.
+
+    Stage 2 merges each group's partials in ascending ``_salt`` order —
+    deterministic, so order-sensitive-within-bound families (t-digest,
+    KLL) reproduce bit-identical results across reruns of the same
+    input (same reason ``sketch_tree_merge`` sorts by partition_id).
+
+    Output: (group_col, _salt=0, payload binary, rows long); map the
+    family's ``estimate``/query over the payloads (e.g. HLL distinct
+    per group).  Null group values form their own group, matching SQL
+    GROUP BY.
     """
+    if mode not in ("auto", "mapside", "shuffle"):
+        raise ValueError(f"mode must be auto|mapside|shuffle, got {mode!r}")
     group_type = df.schema[group_col].dataType
     partial_schema = StructType(
         [StructField(group_col, group_type, True), *GROUPED_PARTIAL_SCHEMA_SUFFIX]
     )
+    projected = df.select(F.col(group_col), F.col(value_col).alias("_v"))
 
-    salted = df.select(
-        F.col(group_col), F.col(value_col).alias("_v")
-    ).withColumn("_salt", F.pmod(F.xxhash64("_v"), F.lit(num_salts)))
+    if mode == "auto":
+        n_groups = projected.agg(
+            F.approx_count_distinct(group_col).alias("g")
+        ).first()["g"]
+        mode = "mapside" if n_groups <= mapside_group_cap else "shuffle"
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        state = sketch.build(sketch.zero(), pdf["_v"])
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                "payload": [sketch.serialize(state)],
-                "rows": [len(pdf)],
-            }
+    _NULL = object()  # sentinel: the SQL null group
+
+    if mode == "mapside":
+
+        def fold_partitions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            states: dict[Any, Any] = {}
+            counts: dict[Any, int] = {}
+            for pdf in batches:
+                null_mask = pdf[group_col].isna()
+                for key, sub in pdf[~null_mask].groupby(group_col, sort=False):
+                    states[key] = sketch.build(states.get(key, sketch.zero()), sub["_v"])
+                    counts[key] = counts.get(key, 0) + len(sub)
+                if null_mask.any():
+                    sub = pdf[null_mask]
+                    states[_NULL] = sketch.build(
+                        states.get(_NULL, sketch.zero()), sub["_v"]
+                    )
+                    counts[_NULL] = counts.get(_NULL, 0) + len(sub)
+            if not states:
+                return
+            yield pd.DataFrame(
+                {
+                    group_col: [None if k is _NULL else k for k in states],
+                    "_salt": [pid] * len(states),
+                    "payload": [sketch.serialize(s) for s in states.values()],
+                    "rows": [counts[k] for k in states],
+                }
+            )
+
+        partials = projected.mapInPandas(fold_partitions, partial_schema)
+    else:
+        salted = projected.withColumn(
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(num_salts))
         )
 
-    partials = salted.groupBy(group_col, "_salt").applyInPandas(fold, partial_schema)
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = sketch.build(sketch.zero(), pdf["_v"])
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    "_salt": [int(pdf["_salt"].iloc[0])],
+                    "payload": [sketch.serialize(state)],
+                    "rows": [len(pdf)],
+                }
+            )
+
+        partials = salted.groupBy(group_col, "_salt").applyInPandas(
+            fold, partial_schema
+        )
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Ascending salt order: deterministic merges for families that
+        # are only order-insensitive within their error bound.
+        pdf = pdf.sort_values("_salt")
         state = sketch.zero()
         for blob in pdf["payload"]:
             state = sketch.merge(state, sketch.deserialize(bytes(blob)))
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
+                "_salt": [0],
                 "payload": [sketch.serialize(state)],
                 "rows": [int(pdf["rows"].sum())],
             }

@@ -82,14 +82,16 @@ class HLLSketch(MergeableSketch):
 
 
 def hll_distinct_grouped(
-    df, group_col: str, value_col: str, p: int = 14, num_salts: int = 16
+    df, group_col: str, value_col: str, p: int = 14, num_salts: int = 16,
+    mode: str = "auto",
 ):
     """Per-group distinct-count estimates: (group, n_distinct_est long).
 
     The ``groupBy(g).agg(approx_count_distinct)`` shape, but through the
-    engine's own mergeable HLL (salted two-stage
-    :func:`mgspark.sketches.base.sketch_agg_grouped`, so one hot group
-    cannot straggle).  ``value_col`` must be an int64 hashed/identifier
+    engine's own mergeable HLL
+    (:func:`mgspark.sketches.base.sketch_agg_grouped`: zero-input-shuffle
+    map-side combine for modest group counts, partition-salted shuffle
+    otherwise — neither a hot group nor a hot value straggles).  ``value_col`` must be an int64 hashed/identifier
     column (the module's input contract).
     """
     from pyspark.sql.types import LongType, StructField, StructType
@@ -97,7 +99,7 @@ def hll_distinct_grouped(
     from mgspark.sketches.base import sketch_agg_grouped
 
     sk = HLLSketch(p)
-    payloads = sketch_agg_grouped(df, group_col, value_col, sk, num_salts)
+    payloads = sketch_agg_grouped(df, group_col, value_col, sk, num_salts, mode=mode)
     schema = StructType(
         [
             StructField(group_col, df.schema[group_col].dataType, True),

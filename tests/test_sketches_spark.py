@@ -124,11 +124,25 @@ def test_hll_distinct_grouped_accuracy_and_nulls(spark):
             ))).alias("v"),
         )
     )
-    est = {r["grp"]: r["n_distinct_est"] for r in hll_distinct_grouped(df, "grp", "v", p=14).collect()}
     exact = {
         r["grp"]: r["c"]
         for r in df.groupBy("grp").agg(F.count_distinct("v").alias("c")).collect()
     }
-    assert set(est) == set(exact) == {"a", "b", None}
-    for g, true in exact.items():
-        assert abs(est[g] - true) / true < 0.05, (g, est[g], true)
+    results = {}
+    for mode in ("mapside", "shuffle"):
+        est = {
+            r["grp"]: r["n_distinct_est"]
+            for r in hll_distinct_grouped(df, "grp", "v", p=14, mode=mode).collect()
+        }
+        assert set(est) == set(exact) == {"a", "b", None}, mode
+        for g, true in exact.items():
+            assert abs(est[g] - true) / true < 0.05, (mode, g, est[g], true)
+        results[mode] = est
+    # HLL register merges are split-invariant: both plans must agree
+    # exactly, and so must the auto plan.
+    assert results["mapside"] == results["shuffle"]
+    auto = {
+        r["grp"]: r["n_distinct_est"]
+        for r in hll_distinct_grouped(df, "grp", "v", p=14).collect()
+    }
+    assert auto == results["mapside"]
