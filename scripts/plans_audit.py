@@ -169,6 +169,19 @@ def main() -> None:
         tree(stratified_sample(docs, "lang", "doc_id", n_per_stratum=20)),
     ))
 
+    from mgspark.sketches.base import sketch_agg_grouped
+    from mgspark.sketches.hll import HLLSketch
+
+    sections.append((
+        "Grouped sketch, map-side combine plan",
+        "Stage 1 is a zero-input-shuffle MapInPandas over the scan "
+        "partitions (per-task dict of per-group states); the only "
+        "exchange moves O(partitions x groups x sketch-size) partial "
+        "rows into the per-group merge — the hash-aggregate shape for "
+        "sketch states.",
+        tree(sketch_agg_grouped(docs, "lang", "doc_id", HLLSketch(12), mode="mapside")),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the flagship operators",
         "",
