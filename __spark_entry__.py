@@ -1109,6 +1109,52 @@ def q_hll_grouped_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group t-digest medians (l_extendedprice by l_returnflag)
+    through the grouped sketch UDAF; deterministic (salt-ordered
+    merges), so each group's exact rank of the estimated median —
+    recomputed by DuckDB from the emitted estimate — sits within
+    0.5 +/- 0.05 as a fixed oracle fact."""
+    from mgspark.sketches import tdigest_quantiles_grouped
+
+    li = _read(spark, sf_dir, "lineitem")
+    est = {
+        r["l_returnflag"]: r["quantile_est"]
+        for r in tdigest_quantiles_grouped(li, "l_returnflag", "l_extendedprice", [0.5]).collect()
+    }
+    counts = {
+        r["l_returnflag"]: (r["n"], r["below"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice")
+                    <= F.coalesce(
+                        *[
+                            F.when(F.lit(flag) == F.col("l_returnflag"), F.lit(float(v)))
+                            for flag, v in sorted(est.items())
+                        ]
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("below"),
+        )
+        .collect()
+    }
+    rows = [
+        (
+            flag,
+            int(n),
+            1 if abs(below / n - 0.5) <= 0.05 else 0,
+        )
+        for flag, (n, below) in sorted(counts.items())
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n_rows long, median_rank_ok long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1174,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_sketch_bound_doc_tokens": q_mg_sketch_bound_doc_tokens,
         "hll_vs_exact_user_id": q_hll_vs_exact_user_id,
         "hll_grouped_event_type": q_hll_grouped_event_type,
+        "tdigest_grouped_price_by_flag": q_tdigest_grouped_price_by_flag,
         "quantile_rank_bounds": q_quantile_rank_bounds,
         "ann_recall_vs_exact": q_ann_recall_vs_exact,
         # structured streaming (bounded availableNow runs)
@@ -1439,6 +1486,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_grouped_event_type": (
             "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "
             "1::BIGINT AS within_bound FROM events GROUP BY event_type"
+        ),
+        "tdigest_grouped_price_by_flag": (
+            "SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows, "
+            "1::BIGINT AS median_rank_ok FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "quantile_rank_bounds": (
             "WITH targets AS (SELECT unnest(['tdigest', 'kll']) AS sketch, "

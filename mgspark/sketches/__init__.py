@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from mgspark.sketches.base import (  # noqa: F401
     MergeableSketch,
     sketch_agg,
+    sketch_agg_grouped,
     sketch_partials,
     sketch_tree_merge,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "TDigest",
     "KLLSketch",
     "sketch_agg",
+    "sketch_agg_grouped",
     "sketch_partials",
     "sketch_tree_merge",
     "hll_distinct",
@@ -37,6 +39,7 @@ __all__ = [
     "bloom_build",
     "tdigest_quantiles",
     "kll_quantiles",
+    "tdigest_quantiles_grouped",
 ]
 
 
@@ -86,3 +89,47 @@ def kll_quantiles(df: DataFrame, col: str, qs, k: int = 200) -> np.ndarray:
     sketch = KLLSketch(k)
     state = sketch_agg(df, col, sketch)
     return np.array([sketch.quantile(state, q) for q in qs])
+
+
+def tdigest_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs,
+    compression: float = 200.0,
+    mode: str = "auto",
+) -> DataFrame:
+    """Per-group t-digest quantiles: (group, q double, quantile_est
+    double) — ``groupBy(g).agg(percentile_approx)`` through the engine's
+    own mergeable digest (:func:`mgspark.sketches.base.sketch_agg_grouped`;
+    salt-ordered merges keep this order-sensitive family deterministic
+    across reruns)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from mgspark.sketches.base import sketch_agg_grouped
+
+    sketch = TDigest(compression)
+    payloads = sketch_agg_grouped(df, group_col, col, sketch, mode=mode)
+    qs = [float(q) for q in qs]
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("q", DoubleType(), False),
+            StructField("quantile_est", DoubleType(), False),
+        ]
+    )
+
+    def estimate(batches):
+        for pdf in batches:
+            groups, out_q, out_v = [], [], []
+            for g, blob in zip(pdf[group_col], pdf["payload"]):
+                state = sketch.deserialize(bytes(blob))
+                for q, v in zip(qs, sketch.quantiles(state, qs)):
+                    groups.append(g)
+                    out_q.append(q)
+                    out_v.append(float(v))
+            yield pd.DataFrame({group_col: groups, "q": out_q, "quantile_est": out_v})
+
+    return payloads.mapInPandas(estimate, schema)

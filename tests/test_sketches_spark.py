@@ -146,3 +146,34 @@ def test_hll_distinct_grouped_accuracy_and_nulls(spark):
         for r in hll_distinct_grouped(df, "grp", "v", p=14).collect()
     }
     assert auto == results["mapside"]
+
+
+def test_tdigest_grouped_deterministic_and_bounded(spark):
+    """Grouped t-digest (order-sensitive family): two runs over the same
+    input must produce BIT-IDENTICAL estimates in both plans (stage-2
+    merges sort by salt), and each estimated median's exact rank must
+    sit within the digest's bound."""
+    from pyspark.sql import functions as F
+
+    from mgspark.sketches import tdigest_quantiles_grouped
+
+    df = spark.range(0, 40_000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.xxhash64("id") % 100000).cast("double").alias("v"),
+    )
+    runs = []
+    for mode in ("mapside", "shuffle"):
+        pair = []
+        for _ in range(2):
+            est = {
+                (r["grp"], r["q"]): r["quantile_est"]
+                for r in tdigest_quantiles_grouped(df, "grp", "v", [0.25, 0.5, 0.75], mode=mode).collect()
+            }
+            pair.append(est)
+        assert pair[0] == pair[1], f"{mode}: nondeterministic grouped digest"
+        runs.append(pair[0])
+    for (grp, q), v in runs[1].items():  # shuffle-mode estimates: check ranks
+        sub = df.where(F.col("grp") == grp)
+        n = sub.count()
+        below = sub.where(F.col("v") <= v).count()
+        assert abs(below / n - q) < 0.05, (grp, q, v, below / n)
