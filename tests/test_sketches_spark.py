@@ -177,3 +177,23 @@ def test_tdigest_grouped_deterministic_and_bounded(spark):
         n = sub.count()
         below = sub.where(F.col("v") <= v).count()
         assert abs(below / n - q) < 0.05, (grp, q, v, below / n)
+
+
+def test_hll_grouped_numeric_group_with_nulls(spark):
+    """Numeric group columns with nulls survive both grouped plans
+    (pandas NaN keys must round-trip to SQL null longs)."""
+    from pyspark.sql import functions as F
+
+    from mgspark.sketches.hll import hll_distinct_grouped
+
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 3 == 2, None).otherwise(F.col("id") % 3).alias("g"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    for mode in ("mapside", "shuffle"):
+        est = {
+            r["g"]: r["n_distinct_est"]
+            for r in hll_distinct_grouped(df, "g", "v", mode=mode).collect()
+        }
+        assert set(est) == {None, 0, 1}, mode
+        assert all(abs(v - 1000) / 1000 < 0.05 for v in est.values()), (mode, est)
