@@ -1112,9 +1112,12 @@ def q_hll_grouped_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group t-digest medians (l_extendedprice by l_returnflag)
     through the grouped sketch UDAF; deterministic (salt-ordered
-    merges), so each group's exact rank of the estimated median —
-    recomputed by DuckDB from the emitted estimate — sits within
-    0.5 +/- 0.05 as a fixed oracle fact."""
+    merges).  The median's exact rank is recomputed SPARK-side
+    (distributed count of rows <= estimate) and emitted as a
+    within-bound flag; DuckDB independently pins the group set and
+    per-group row counts — it cannot re-derive the digest itself, so
+    this is an invariant oracle like the HLL bound rows, not a
+    value-for-value cross-engine check."""
     from mgspark.sketches import tdigest_quantiles_grouped
 
     li = _read(spark, sf_dir, "lineitem")
@@ -1122,6 +1125,7 @@ def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFra
         r["l_returnflag"]: r["quantile_est"]
         for r in tdigest_quantiles_grouped(li, "l_returnflag", "l_extendedprice", [0.5]).collect()
     }
+    est_sorted = sorted(est.items(), key=lambda kv: (kv[0] is None, kv[0]))
     counts = {
         r["l_returnflag"]: (r["n"], r["below"])
         for r in li.groupBy("l_returnflag")
@@ -1132,8 +1136,13 @@ def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFra
                     F.col("l_extendedprice")
                     <= F.coalesce(
                         *[
-                            F.when(F.lit(flag) == F.col("l_returnflag"), F.lit(float(v)))
-                            for flag, v in sorted(est.items())
+                            # eqNullSafe: a null group's estimate must
+                            # match its own rows, not fall through.
+                            F.when(
+                                F.col("l_returnflag").eqNullSafe(F.lit(flag)),
+                                F.lit(float(v)),
+                            )
+                            for flag, v in est_sorted
                         ]
                     ),
                     1,
@@ -1148,7 +1157,9 @@ def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFra
             int(n),
             1 if abs(below / n - 0.5) <= 0.05 else 0,
         )
-        for flag, (n, below) in sorted(counts.items())
+        for flag, (n, below) in sorted(
+            counts.items(), key=lambda kv: (kv[0] is None, kv[0])
+        )
     ]
     return spark.createDataFrame(
         rows, "l_returnflag string, n_rows long, median_rank_ok long"

@@ -245,7 +245,10 @@ def sketch_agg_grouped(
     Output: (group_col, _salt=0, payload binary, rows long); map the
     family's ``estimate``/query over the payloads (e.g. HLL distinct
     per group).  Null group values form their own group, matching SQL
-    GROUP BY.
+    GROUP BY.  Caveat: a NULLABLE int64 group column passes through
+    pandas as float64 in the map-side fold and in estimator helpers, so
+    group KEYS above 2^53 lose precision there — use string group keys
+    (or drop nulls first) for snowflake-scale id groups.
     """
     if mode not in ("auto", "mapside", "shuffle"):
         raise ValueError(f"mode must be auto|mapside|shuffle, got {mode!r}")
