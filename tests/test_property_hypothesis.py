@@ -12,6 +12,18 @@ from mgspark.sketches.bloom import BloomFilter
 from mgspark.sketches.cms import CountMinSketch
 from mgspark.sketches.hll import HLLSketch
 
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def spark_session_for_hypothesis():
+    """Module-scoped Spark session reused across hypothesis examples
+    (function-scoped fixtures are incompatible with @given reuse)."""
+    from mgspark.session import get_spark
+
+    return get_spark("hypothesis-temporal", cores=4, shuffle_partitions=4)
+
+
 streams = st.lists(st.integers(min_value=-3, max_value=30), max_size=200)
 small_k = st.integers(min_value=1, max_value=8)
 
@@ -178,3 +190,68 @@ def test_exemplar_invariant_every_state_key_decodable(keys):
     assert set(map(int, state.keys)) <= set(exemplars)
     for key, token in exemplars.items():
         assert token == f"t{key}"
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators vs brute force (Spark-backed: few, adversarial examples)
+# ---------------------------------------------------------------------------
+
+_keys = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=10),
+    # unique (key, ts) on the right so the at-timestamp winner is unique
+    right=st.dictionaries(st.tuples(_keys, _ts), st.integers(0, 99), max_size=10),
+)
+def test_asof_join_matches_bruteforce(spark_session_for_hypothesis, left, right):
+    """The union+window as-of plan must equal the quadratic definition:
+    per left row, the value of the max-ts right row with ts <= left.ts
+    and the same key — under duplicate lefts, ties, and empty sides."""
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.temporal import asof_join
+
+    spark = spark_session_for_hypothesis
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "rid long, k long, sec long"
+    ).select("rid", "k", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    rrows = [(k, t, v) for (k, t), v in right.items()] or [(99, 0, 0)]
+    rdf = spark.createDataFrame(rrows, "k long, rsec long, val long").select(
+        "k", F.timestamp_seconds(F.col("rsec")).alias("rts"), "val"
+    )
+    got = {
+        r["rid"]: r["val_asof"]
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", ["val"]).collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in right.items() if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, (i, k, t, cands, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=12))
+def test_rolling_features_match_bruteforce(spark_session_for_hypothesis, rows):
+    """RANGE-frame rolling counts equal the quadratic definition
+    (inclusive edges, equal-ts rows share the frame)."""
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.temporal import rolling_features
+
+    spark = spark_session_for_hypothesis
+    window = 5.0
+    df = spark.createDataFrame(
+        [(i, k, t, 1.0) for i, (k, t) in enumerate(rows)],
+        "rid long, k long, sec long, v double",
+    ).select("rid", "k", F.timestamp_seconds(F.col("sec")).alias("ts"), "v")
+    got = {
+        r["rid"]: r["roll_n"]
+        for r in rolling_features(df, "k", "ts", "v", window).collect()
+    }
+    for i, (k, t) in enumerate(rows):
+        expected = sum(1 for (k2, t2) in rows if k2 == k and t - window <= t2 <= t)
+        assert got[i] == expected, (i, k, t, expected, got[i])
