@@ -135,7 +135,7 @@ def scale_worker(cores: int, repo_dir: str, warm_dir: str | None = None,
 # Second-pass cutoff: queries slower than this on pass 1 are not re-run
 # (a long run already integrates over steal windows; re-running doubles
 # the bench budget for little variance reduction).
-_RERUN_CUTOFF_SEC = 6.0
+_RERUN_CUTOFF_SEC = 8.0
 
 HEADLINE_QUERIES = [
     "mg_topk_user_id",
