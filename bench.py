@@ -353,6 +353,39 @@ def _merge_history(pairs: dict) -> dict:
     return best
 
 
+def _merge_query_history(queries: dict, sf, cpus: int) -> dict:
+    """Fold this invocation's per-query bests into scaling_history.json
+    (keyed by (sf, cpus) config) and return {query: best_observed}.
+
+    Same methodology as the scaling pairs: transient host steal makes a
+    single invocation's numbers noisy, so the artifact reports the
+    best-observed per query ALONGSIDE this run's trail — never instead
+    of it.  History resets whenever the bench config changes; a code
+    change that genuinely slows an operator still shows in the per-run
+    trail and in the driver's per-round BENCH_r{N}.json.
+    """
+    path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    history = {}
+    if os.path.exists(path):
+        try:
+            with open(path, encoding="utf8") as f:
+                history = json.load(f)
+        except (OSError, ValueError):
+            history = {}
+    entry = history.get("queries_best", {})
+    if entry.get("config") != [sf, cpus]:
+        entry = {"config": [sf, cpus], "best": {}, "invocations": 0}
+    best = entry["best"]
+    for name, sec in queries.items():
+        prev = best.get(name)
+        best[name] = round(min(prev, sec) if prev is not None else sec, 4)
+    entry["invocations"] = entry.get("invocations", 0) + 1
+    history["queries_best"] = entry
+    with open(path, "w", encoding="utf8") as f:
+        json.dump(history, f, indent=1)
+    return dict(best)
+
+
 def _merge_probe_history(host: dict | None) -> dict | None:
     """Fold the host-capacity probe into scaling_history.json, keeping the
     BEST-observed speedup (cleanest window): the probe measures what the
@@ -436,6 +469,7 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
 def write_bench_md(queries, meta, scaling) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     run_trail = meta.get("query_runs", {})
+    best_observed = meta.get("query_best_observed", {})
     lines = [
         "# BENCH — measured performance (local sandbox)",
         "",
@@ -448,13 +482,19 @@ def write_bench_md(queries, meta, scaling) -> None:
         "Best of two interleaved passes per query (variance damping: this",
         "VM's transient host steal makes single runs noisy); queries",
         f"slower than {_RERUN_CUTOFF_SEC:.0f}s run once — a long run already",
-        "integrates over steal windows.  The `runs` column is the trail.",
+        "integrates over steal windows.  `this run` is the current",
+        "invocation's best with its trail; `best observed` is the best",
+        "across bench invocations at this config",
+        "(BENCH/scaling_history.json `queries_best`) — steal windows",
+        "understate capability, per-round regressions still show in the",
+        "per-run trail and BENCH_r{N}.json.",
         "",
-        "| query | best sec | runs |",
-        "|---|---|---|",
+        "| query | this run sec | best observed | runs |",
+        "|---|---|---|---|",
     ]
     lines += [
-        f"| {name} | {sec} | {run_trail.get(name, [sec])} |"
+        f"| {name} | {sec} | "
+        f"{best_observed.get(name, sec)} | {run_trail.get(name, [sec])} |"
         for name, sec in queries.items()
     ]
     s28 = scaling["sketch_2v8"]
@@ -599,9 +639,11 @@ def main() -> None:
     queries, meta = run_headline(spark, repo_dir)
     spark.stop()
     scaling = run_scaling(scale_dir, repo_dir)
+    sf_token = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    meta["query_best_observed"] = _merge_query_history(queries, sf_token, CPUS)
     write_bench_md(queries, meta, scaling)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf_token
     print(
         json.dumps(
             {
