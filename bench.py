@@ -365,6 +365,7 @@ def _merge_query_history(queries: dict, sf, cpus: int) -> dict:
     trail and in the driver's per-round BENCH_r{N}.json.
     """
     path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     history = {}
     if os.path.exists(path):
         try:
@@ -373,8 +374,11 @@ def _merge_query_history(queries: dict, sf, cpus: int) -> dict:
         except (OSError, ValueError):
             history = {}
     entry = history.get("queries_best", {})
-    if entry.get("config") != [sf, cpus]:
-        entry = {"config": [sf, cpus], "best": {}, "invocations": 0}
+    # The full input config keys the history — a row-count override
+    # (MGSPARK_BENCH_ROWS) must not mix bests across input sizes.
+    config = [sf, cpus, REPO_ROWS]
+    if entry.get("config") != config:
+        entry = {"config": config, "best": {}, "invocations": 0}
     best = entry["best"]
     for name, sec in queries.items():
         prev = best.get(name)

@@ -12,18 +12,6 @@ from mgspark.sketches.bloom import BloomFilter
 from mgspark.sketches.cms import CountMinSketch
 from mgspark.sketches.hll import HLLSketch
 
-import pytest as _pytest
-
-
-@_pytest.fixture(scope="module")
-def spark_session_for_hypothesis():
-    """Module-scoped Spark session reused across hypothesis examples
-    (function-scoped fixtures are incompatible with @given reuse)."""
-    from mgspark.session import get_spark
-
-    return get_spark("hypothesis-temporal", cores=4, shuffle_partitions=4)
-
-
 streams = st.lists(st.integers(min_value=-3, max_value=30), max_size=200)
 small_k = st.integers(min_value=1, max_value=8)
 
@@ -206,7 +194,7 @@ _ts = st.integers(min_value=0, max_value=30)
     # unique (key, ts) on the right so the at-timestamp winner is unique
     right=st.dictionaries(st.tuples(_keys, _ts), st.integers(0, 99), max_size=10),
 )
-def test_asof_join_matches_bruteforce(spark_session_for_hypothesis, left, right):
+def test_asof_join_matches_bruteforce(spark, left, right):
     """The union+window as-of plan must equal the quadratic definition:
     per left row, the value of the max-ts right row with ts <= left.ts
     and the same key — under duplicate lefts, ties, and empty sides."""
@@ -214,7 +202,7 @@ def test_asof_join_matches_bruteforce(spark_session_for_hypothesis, left, right)
 
     from mgspark.pipeline.temporal import asof_join
 
-    spark = spark_session_for_hypothesis
+    spark = spark
     ldf = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(left)], "rid long, k long, sec long"
     ).select("rid", "k", F.timestamp_seconds(F.col("sec")).alias("ts"))
@@ -235,14 +223,14 @@ def test_asof_join_matches_bruteforce(spark_session_for_hypothesis, left, right)
 
 @settings(max_examples=10, deadline=None)
 @given(rows=st.lists(st.tuples(_keys, _ts), min_size=1, max_size=12))
-def test_rolling_features_match_bruteforce(spark_session_for_hypothesis, rows):
+def test_rolling_features_match_bruteforce(spark, rows):
     """RANGE-frame rolling counts equal the quadratic definition
     (inclusive edges, equal-ts rows share the frame)."""
     from pyspark.sql import functions as F
 
     from mgspark.pipeline.temporal import rolling_features
 
-    spark = spark_session_for_hypothesis
+    spark = spark
     window = 5.0
     df = spark.createDataFrame(
         [(i, k, t, 1.0) for i, (k, t) in enumerate(rows)],
