@@ -1166,6 +1166,19 @@ def q_tdigest_grouped_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional downsampling: keep probability = the doc's
+    quality score (pipeline/sampling.py weighted_sample) — deterministic
+    zero-shuffle filter, exact DuckDB oracle computing the identical
+    hash and the identical quality expression."""
+    from mgspark.pipeline.sampling import weighted_sample
+    from mgspark.pipeline.textstats import quality_exprs
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", quality_exprs("text")["quality"].alias("q"))
+    return weighted_sample(scored, "doc_id", "q", seed=13).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "mixture_sample_docs": q_mixture_sample_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
@@ -1479,6 +1493,20 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'src0' THEN 4294967296 "
             "WHEN 'src1' THEN 214748364 "
             "ELSE 1073741824 END"
+        ),
+        "weighted_sample_docs": (
+            "WITH f AS (SELECT doc_id, lang, "
+            "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens, "
+            "length(text)::DOUBLE AS n_chars, "
+            "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE AS n_clean "
+            "FROM documents), "
+            "s AS (SELECT doc_id, lang, "
+            "ROUND((CASE WHEN n_chars > 0 THEN n_clean / n_chars ELSE 0.0 END) * "
+            "(CASE WHEN n_tokens >= 10 THEN 1.0 ELSE n_tokens / 10.0 END), 4) AS q "
+            "FROM f) "
+            "SELECT doc_id, lang FROM s "
+            "WHERE ((doc_id + 13) * 2654435761) % 4294967296 < "
+            "CAST(trunc(LEAST(1.0, GREATEST(0.0, q)) * 4294967296) AS BIGINT)"
         ),
         "curate_neardup_invariant": (
             f"WITH base AS ({_curate_oracle()}) "

@@ -33,6 +33,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "mixture_sample",
+    "weighted_sample",
 ]
 
 _KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth TAOCP vol 3 §6.4
@@ -136,3 +137,24 @@ def mixture_sample(
             F.col(source_col) == F.lit(src), F.lit(int(rate * _MOD))
         ).otherwise(cutoff)
     return df.where(sample_hash_expr(id_col, seed) < cutoff)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col, seed: int = 0
+) -> DataFrame:
+    """Per-row weighted Bernoulli: keep each row with probability equal
+    to its own weight in [0, 1] (values outside clamp) — the
+    quality-proportional downsampling step of a curation pipeline
+    ("keep high-quality docs always, low-quality ones rarely").
+
+    Still deterministic and zero-shuffle: the row's hash plays the role
+    of the uniform draw, so the kept set is a pure function of
+    (id, seed, weight expression) — identical across cluster sizes and
+    engines.  ``weight_col`` is a column name or Column expression
+    (e.g. the quality score itself, or any function of it).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.where(
+        sample_hash_expr(id_col, seed) < (w * F.lit(float(_MOD))).cast("bigint")
+    )

@@ -972,3 +972,31 @@ def test_hash_sample_null_ids_filtered_not_raised(spark):
     df = spark.createDataFrame([(0,), (1,), (None,)], "id long")
     kept = hash_sample(df, "id", 1.0).collect()
     assert {r["id"] for r in kept} == {0, 1}
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """weighted_sample keeps each row with probability = its weight:
+    weight 1 keeps all, 0 keeps none, 0.5 keeps ~half; deterministic
+    across partitionings; weights clamp to [0, 1]."""
+    from mgspark.pipeline.sampling import weighted_sample
+
+    df = spark.range(0, 30_000).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, 1.0)
+        .when(F.col("id") % 3 == 1, 0.0)
+        .otherwise(0.5)
+        .alias("w"),
+    )
+    kept = weighted_sample(df, "id", "w", seed=9)
+    counts = {r["w"]: r["c"] for r in kept.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    assert counts[1.0] == 10_000
+    assert 0.0 not in counts
+    assert abs(counts[0.5] - 5_000) < 5 * (10_000 * 0.25) ** 0.5
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(17), "id", "w", seed=9).collect()}
+    assert a == b
+    # out-of-range weights clamp
+    clamped = weighted_sample(
+        df.withColumn("w", F.col("w") * 10 - 2), "id", "w"
+    )
+    assert clamped.where("w <= 0").count() == 0
