@@ -167,6 +167,7 @@ HEADLINE_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
     "mixture_sample_docs",
+    "weighted_sample_docs",
     "session_stats_events",
     "asof_join_orders",
     "rolling_event_features",
