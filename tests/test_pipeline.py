@@ -782,12 +782,19 @@ def test_sampling_determinism_and_bounds(spark):
 def test_hash_sample_is_pure_filter_no_shuffle(spark):
     """The Bernoulli forms must stay shuffle-free filters (they compose
     with any plan and scale embarrassingly)."""
-    from mgspark.pipeline.sampling import hash_sample, mixture_sample
+    from mgspark.pipeline.sampling import (
+        hash_sample,
+        mixture_sample,
+        weighted_sample,
+    )
 
-    df = spark.range(0, 1000).withColumn("src", F.lit("a"))
+    df = spark.range(0, 1000).withColumn("src", F.lit("a")).withColumn(
+        "w", F.lit(0.5)
+    )
     for sampled in (
         hash_sample(df, "id", 0.5),
         mixture_sample(df, "src", "id", {"a": 0.5}),
+        weighted_sample(df, "id", "w"),
     ):
         plan = sampled._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
