@@ -209,3 +209,67 @@ def test_streaming_session_windows_vs_batch_sessionize(spark, tmp_path):
     assert len(got) == 16  # 5 users x 3 bursts + the exact-gap merge
     assert got == expected
     assert sum(1 for g in got if g[0] == 99) == 1  # merged, not split
+
+
+def test_mg_streaming_sketch_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart: a second query on the SAME checkpoint must
+    resume the stateful MG from the stored state and process only the
+    new files — final per-shard n equals the full corpus, bounds hold
+    over the union of both runs."""
+    src = tmp_path / "src"
+    src.mkdir()
+    k, shards = 12, 4
+
+    sink = str(tmp_path / "resume_sink")
+
+    def run_once(qname):
+        # foreachBatch parquet sink: the memory sink does NOT support
+        # checkpoint recovery ("This query does not support recovering
+        # from checkpoint location"); fault-tolerant resume needs a
+        # replayable sink.
+        stream = spark.readStream.schema("key long").parquet(str(src))
+        out = mg_streaming_sketch(stream, "key", k, num_shards=shards)
+
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "resume_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.read.parquet(sink).collect():
+            if r["shard"] not in latest or r["n"] > latest[r["shard"]]["n"]:
+                latest[r["shard"]] = r
+        return latest
+
+    rng = np.random.default_rng(7)
+    first = (rng.zipf(1.4, size=3000) % 40).astype("int64")
+    __import__("pandas").DataFrame({"key": first}).to_parquet(
+        str(src / "part_a.parquet"), index=False
+    )
+    latest1 = run_once("mg_resume_1")
+    assert sum(r["n"] for r in latest1.values()) == len(first)
+
+    second = (rng.zipf(1.4, size=2000) % 40).astype("int64")
+    __import__("pandas").DataFrame({"key": second}).to_parquet(
+        str(src / "part_b.parquet"), index=False
+    )
+    latest2 = run_once("mg_resume_2")
+    allk = np.concatenate([first, second])
+    exact = {}
+    for key in allk:
+        exact[int(key)] = exact.get(int(key), 0) + 1
+    assert sum(r["n"] for r in latest2.values()) == len(allk), (
+        "restart must resume counts from checkpointed state, not re-read"
+    )
+    for shard, r in latest2.items():
+        shard_exact = {key: c for key, c in exact.items() if key % shards == shard}
+        cap = sum(shard_exact.values()) // (k + 1)
+        assert r["d"] <= cap
+        for key, est in zip(r["keys"], r["counters"]):
+            assert shard_exact.get(int(key), 0) - cap <= est <= shard_exact.get(int(key), 0)
