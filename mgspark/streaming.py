@@ -75,6 +75,11 @@ def mg_streaming_sketch(
     the state and the emitted rows, so consumers decode hashed keys
     without any scan of the (unbounded) stream history.
 
+    .. note:: for fault-tolerant runs pair this with a replayable sink
+       (file/kafka/foreachBatch): Spark's memory sink refuses checkpoint
+       recovery, so a restarted query would error instead of resuming
+       its state (pinned by tests/test_streaming.py's resume test).
+
     .. note:: the ``tokens`` state field (added for exemplar decode) is a
        checkpoint-breaking state-schema change: a stream checkpointed
        under the earlier 4-field state cannot resume against this
