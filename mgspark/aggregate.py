@@ -163,6 +163,11 @@ def dictionary_encode(
     a broadcast join (O(distinct) rows shipped once), never a
     ``create_map`` literal whose codegen blows up past a few thousand
     entries.
+
+    If the input already has a ``key`` column (other than ``col``
+    itself), it is REPLACED by the dictionary id in the returned frame —
+    the dictionary id is joined under a collision-free temporary name so
+    the join never produces an ambiguous duplicate, then renamed.
     """
     values = [
         r[0]
@@ -184,13 +189,19 @@ def dictionary_encode(
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
 
+    tmp_key = "_dict_key"
+    while tmp_key in df.columns:
+        tmp_key += "_"
     dict_schema = _ST(
-        [_SF(col, df.schema[col].dataType, True), _SF("key", LongType(), False)]
+        [_SF(col, df.schema[col].dataType, True), _SF(tmp_key, LongType(), False)]
     )
     dict_df = spark.createDataFrame(
         [(value, i) for i, value in enumerate(values)], dict_schema
     )
     encoded = df.join(F.broadcast(dict_df), col, "inner")
+    if "key" in encoded.columns and tmp_key != "key":
+        encoded = encoded.drop("key")
+    encoded = encoded.withColumnRenamed(tmp_key, "key")
     return encoded, {i: value for i, value in enumerate(values)}, len(values)
 
 

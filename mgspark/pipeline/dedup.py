@@ -396,8 +396,26 @@ def simhash_near_pairs(
     :func:`dedup_exact`.  Pass ``n_chunks`` explicitly to force the
     single-chunk index (it must be >= max_hamming + 1).
 
+    Radii >= 63 admit (nearly) every pair — no chunk index can help
+    there (even 64 one-bit chunks only guarantee a shared chunk at
+    max_hamming <= 63), so the operator degrades to the exact all-pairs
+    self-join; that is quadratic by definition of the query, not an
+    implementation limit.
+
     Output: (id_a, id_b, hamming int).
     """
+    if max_hamming >= 63:
+        fps = simhash_fingerprints(df, text_col, id_col)
+        a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
     # The pair index needs max_hamming+2 chunks; past 62 that exceeds the
     # 64 available bits, and a 64-chunk pair index would only guarantee 1
     # shared chunk (zero shared PAIRS) — fall back to the single-chunk

@@ -48,18 +48,28 @@ def sessionize(
     though the sort may order ties differently per run/engine — which is
     also why the gap must be non-negative (a negative gap would make
     every tie a nondeterministic session start).
+
+    NULL timestamps sort LAST (matching SQL engines' default window
+    NULLS LAST, so the cross-engine oracle agrees) and never start a
+    new session: only the entity's first row or a real positive gap
+    does, so null-ts rows inherit the entity's final session id instead
+    of each spawning a phantom session that would shift every real
+    row's ordinal.
     """
     if gap_seconds < 0:
         raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc_nulls_last())
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    new_session = (
-        prev_ts.isNull()
-        | (
-            _epoch_sec(F.col(ts_col)) - _epoch_sec(prev_ts)
-            > F.lit(float(gap_seconds))
-        )
-    ).cast("long")
+    gap_exceeded = (
+        _epoch_sec(F.col(ts_col)) - _epoch_sec(prev_ts)
+        > F.lit(float(gap_seconds))
+    )
+    # first row per entity (row_number, not prev.isNull(): a NULL prev
+    # ts reappears at every null-ts row) or a real gap; NULL comparisons
+    # fall through to 0 so null-ts rows never open a session.
+    new_session = F.when(
+        (F.row_number().over(w) == 1) | gap_exceeded, F.lit(1)
+    ).otherwise(F.lit(0))
     return df.withColumn(
         session_col,
         F.sum(new_session).over(
@@ -101,8 +111,14 @@ def asof_join(
 
     Implementation is the scalable union trick, not a range join: tag
     both sides, union, sort by (key, ts, side) once, and propagate the
-    last seen right-side values with ``last(ignoreNulls)`` running
-    windows; then keep the left rows.  One hash exchange on the key and
+    last seen right-side ROW — one struct holding every value column,
+    non-null exactly when a right row exists — with a single
+    ``last(ignoreNulls)`` running window; then keep the left rows and
+    project struct fields.  Carrying the whole row as one struct (not
+    one ``last`` per column) guarantees all values come from the SAME
+    latest matching right row even when some of its value columns are
+    NULL — per-column fills would skip a null and surface an older
+    row's value instead.  One hash exchange on the key and
     one sort — O(n log n) per partition, versus the quadratic blowup a
     naive ``left.ts >= right.ts`` theta-join gives Spark (which can only
     nested-loop it per key).  Right rows sort BEFORE left rows at equal
@@ -121,19 +137,24 @@ def asof_join(
                 "pass a different suffix"
             )
     lcols = left.columns
+    from pyspark.sql.types import StructField, StructType
+
+    row_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     tagged_left = left.select(
         F.col(key_col).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{i}") for i, c in enumerate(lcols)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(row_type).alias("_r"),
     )
     tagged_right = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{i}") for i, c in enumerate(lcols)],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
     # SQL ASOF semantics: a null key never matches (equality) and a null
     # right timestamp never satisfies right.ts <= left.ts — drop both
@@ -151,14 +172,11 @@ def asof_join(
     filled = unioned.select(
         "_side",
         *[F.col(f"_l_{i}") for i in range(len(lcols))],
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     return filled.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{i}").alias(c) for i, c in enumerate(lcols)],
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col("_r").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

@@ -238,6 +238,34 @@ def test_simhash_full_recall_at_hamming_8(spark):
     assert got == expected
 
 
+def test_simhash_extreme_radius_degrades_to_all_pairs(spark):
+    """max_hamming >= 63 cannot be served by any chunk index (ADVICE r3):
+    it must degrade to the exact all-pairs join instead of raising, and
+    release exactly the pairs within the radius."""
+    rows = [(i, f"doc number {i} with words {'x ' * (i + 1)}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    for radius in (63, 64):
+        expected = {
+            (a, b)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1:]
+            if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=radius).collect()
+        }
+        assert got == expected
+    # max_hamming=64 admits every pair by definition
+    n = len(ids)
+    assert (
+        simhash_near_pairs(df, "text", "doc_id", max_hamming=64).count()
+        == n * (n - 1) // 2
+    )
+
+
 def test_simhash_pair_index_survives_large_uniform_corpus(spark):
     """At max_hamming=8 the auto-selected chunk-PAIR index keeps bucket
     keys ~13 bits wide, so a large uniform corpus does NOT overflow the
@@ -951,6 +979,66 @@ def test_asof_join_null_right_ts_never_fills(spark):
 
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize(left, "uid", "ts", -1)
+
+
+def test_asof_join_null_value_columns_come_from_matched_row(spark):
+    """A matching right row whose value column is NULL must yield NULL
+    — not an older right row's value — and with several value columns
+    all must come from the SAME latest matching right row (the per-row
+    struct carry; per-column last(ignorenulls) fills would mix rows)."""
+    from mgspark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, "2024-01-01 00:10:00")], "event_id long, uid long, ts_s string"
+    ).select("event_id", "uid", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            # older row: both values present
+            (1, "2024-01-01 00:01:00", 10.0, "old"),
+            # latest matching row: price NULL, tag present — the match
+            (1, "2024-01-01 00:07:00", None, "new"),
+        ],
+        "uid long, rts_s string, price double, tag string",
+    ).select(
+        "uid", F.col("rts_s").cast("timestamp").alias("rts"), "price", "tag"
+    )
+    out = asof_join(left, right, "uid", "ts", "rts", ["price", "tag"]).collect()
+    assert len(out) == 1
+    # both columns from the 00:07 row: null price, 'new' tag
+    assert out[0]["price_asof"] is None
+    assert out[0]["tag_asof"] == "new"
+
+
+def test_sessionize_null_timestamps_sort_last_and_never_start_sessions(spark):
+    """Null-ts rows must not spawn phantom sessions nor shift the real
+    rows' ordinals: they sort last and inherit the entity's final
+    session id (matching SQL engines' NULLS LAST window default)."""
+    from mgspark.pipeline.temporal import session_stats, sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, None),  # must not become its own session or shift ids
+        (1, "2024-01-01 01:00:00"),  # > gap: session 1
+        (1, None),
+        (2, None),  # entity with only null ts: one session, id 0
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts_s string").select(
+        "uid", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["uid"], str(r["ts"]), r["session_id"])
+        for r in sessionize(df, "uid", "ts", gap_seconds=600).collect()
+    }
+    assert (1, "2024-01-01 00:00:00", 0) in got
+    assert (1, "2024-01-01 01:00:00", 1) in got
+    # null-ts rows inherit the final session
+    assert (1, "None", 1) in got and (1, "None", 0) not in got
+    assert (2, "None", 0) in got
+    stats = {
+        (r["uid"], r["session_id"]): r["n_events"]
+        for r in session_stats(df, "uid", "ts", 600).collect()
+    }
+    assert stats[(1, 0)] == 1 and stats[(1, 1)] == 3 and stats[(2, 0)] == 1
 
 
 def test_ngram_short_docs_yield_no_grams(spark):

@@ -403,6 +403,26 @@ def test_dictionary_encode_null_safe_and_bounded(spark):
         dictionary_encode(df, "v", max_distinct=1)
 
 
+def test_dictionary_encode_preexisting_key_column(spark):
+    """An input 'key' column must not make the dictionary join ambiguous
+    (ADVICE r3): the returned frame carries exactly one 'key' column —
+    the dictionary id — and encoded.select('key') works."""
+    from mgspark.aggregate import dictionary_encode
+
+    df = spark.createDataFrame(
+        [("a", 99), ("b", 98), ("a", 97)], "v string, key int"
+    )
+    encoded, inverse, size = dictionary_encode(df, "v")
+    assert size == 2 and encoded.columns.count("key") == 1
+    keys = sorted(r["key"] for r in encoded.select("key").collect())
+    assert keys == [0, 0, 1]
+    # encoding the 'key' column itself also works
+    encoded2, inverse2, size2 = dictionary_encode(df, "key")
+    assert size2 == 3 and encoded2.columns.count("key") == 1
+    assert sorted(inverse2.values()) == [97, 98, 99]
+    assert sorted(r["key"] for r in encoded2.select("key").collect()) == [0, 1, 2]
+
+
 def test_embedding_near_dup_zero_vector_not_released(spark):
     """Zero embeddings must not pass the cosine threshold via NaN (Spark
     orders NaN above every number)."""
