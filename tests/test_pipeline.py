@@ -187,6 +187,31 @@ def test_minhash_signature_determinism(spark, docs):
     assert m1 == m2
 
 
+def test_dedup_near_simhash_composition_sharp(spark, dup_fixture):
+    """The contract query's composition (simhash pairs at radius 8 ->
+    components -> kept set) on a fixture WHERE DUPS EXIST: the kept set
+    is a strict subset of the docs, a subset of the exact-dedup kept set
+    (both keep the min id), and every planted exact dup is removed.
+    The sf tables have no exact dups, so the driver row's subset
+    invariant is only sharp here."""
+    from mgspark.pipeline.dedup import dedup_near, simhash_near_pairs
+
+    df, exact_pairs, near_pairs = dup_fixture
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=8, max_bucket=1 << 20)
+    kept = {r["doc_id"] for r in dedup_near(df, "doc_id", pairs).collect()}
+    exact_keep = {
+        r["k"]
+        for r in df.groupBy("text").agg(F.min("doc_id").alias("k")).collect()
+    }
+    assert kept < {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert kept <= exact_keep
+    for orig, copy in exact_pairs:
+        # the planted copy shares a component with orig and copy > orig,
+        # so it can never be the component min -> always removed (orig
+        # itself may be removed too if near-linked to a smaller id)
+        assert copy not in kept
+
+
 def test_simhash_near_pairs(spark, dup_fixture):
     df, exact_pairs, _ = dup_fixture
     fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
