@@ -426,25 +426,23 @@ def q_curate_neardup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components -> keep one per cluster), oracle-checked as an
     invariant: the near-dedup curated set must be a subset of the
     exact-only curated set (the stage only removes documents), whose
-    size DuckDB recomputes exactly."""
+    size DuckDB recomputes exactly.  The subset check is a distributed
+    anti-join count (VERDICT r3 task #8), not driver-side sets."""
     from mgspark.pipeline.curate import curate_documents
 
     docs = _read(spark, sf_dir, "documents")
-    base = {
-        r["id"]
-        for r in curate_documents(
-            docs, "text", "doc_id", min_quality=0.5, min_tokens=5
-        ).select("id").collect()
-    }
-    near = {
-        r["id"]
-        for r in curate_documents(
-            docs, "text", "doc_id", min_quality=0.5, min_tokens=5,
-            near_dup_threshold=0.7,
-        ).select("id").collect()
-    }
-    return spark.createDataFrame(
-        [(len(base), int(near <= base))], "n_base long, subset_ok long"
+    base = curate_documents(
+        docs, "text", "doc_id", min_quality=0.5, min_tokens=5
+    ).select("id")
+    near = curate_documents(
+        docs, "text", "doc_id", min_quality=0.5, min_tokens=5,
+        near_dup_threshold=0.7,
+    ).select("id")
+    n_base = base.agg(F.count("*").alias("n_base"))
+    stray = near.join(base, "id", "left_anti").agg(F.count("*").alias("_stray"))
+    return n_base.crossJoin(stray).select(
+        F.col("n_base").cast("long").alias("n_base"),
+        (F.col("_stray") == 0).cast("long").alias("subset_ok"),
     )
 
 
@@ -515,30 +513,52 @@ def q_minhash_est_vs_true_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     """Oracle-checkable invariant of the MinHash pipeline: est_jaccard is
     a mean of 128 Bernoulli(j) agreements, sd <= sqrt(j(1-j)/128) ~
     0.044, so every released pair must sit within 0.18 (4 sd) of the
-    exact shingle Jaccard, recomputed pairwise from the texts."""
-    from mgspark.pipeline.dedup import _shingle_hashes_batch, minhash_dedup_pairs
+    exact shingle Jaccard.  The exact Jaccard is computed DISTRIBUTEDLY
+    (VERDICT r3 task #8): released pairs semi-join the corpus, the
+    shingle relation is built once per surviving doc, sizes come from a
+    groupBy, intersections from a shingle-equality join — no text or
+    pair set ever reaches the driver."""
+    from mgspark.cacheutil import transient_persist
+    from mgspark.pipeline.dedup import minhash_dedup_pairs, shingle_relation
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7).collect()
-    ids = sorted({r["id_a"] for r in pairs} | {r["id_b"] for r in pairs})
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.where(F.col("doc_id").isin(ids)).select("doc_id", "text").collect()
-    }
-    import pandas as pd
-
-    shingles = {
-        doc: set(h.tolist())
-        for doc, h in zip(ids, _shingle_hashes_batch(pd.Series([texts[d] for d in ids]), 5))
-    }
-    violations = 0
-    for r in pairs:
-        a, b = shingles[r["id_a"]], shingles[r["id_b"]]
-        true_j = len(a & b) / max(len(a | b), 1)
-        if abs(r["est_jaccard"] - true_j) > 0.18:
-            violations += 1
-    return spark.createDataFrame(
-        [(violations, int(len(pairs) > 0))], "violations long, found_pairs long"
+    pairs = transient_persist(
+        minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = transient_persist(
+        shingle_relation(docs.join(ids, "doc_id"), "text", "doc_id")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    stats = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "true_j",
+            F.col("n_inter")
+            / F.greatest(F.col("sz_a") + F.col("sz_b") - F.col("n_inter"), F.lit(1)),
+        )
+        .withColumn(
+            "viol",
+            (F.abs(F.col("est_jaccard") - F.col("true_j")) > 0.18).cast("long"),
+        )
+    )
+    return stats.agg(
+        F.coalesce(F.sum("viol"), F.lit(0)).cast("long").alias("violations"),
+        (F.count("*") > 0).cast("long").alias("found_pairs"),
     )
 
 
@@ -879,29 +899,24 @@ def q_asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Bloom build over o_custkey, then probe every true
-    member: no false negatives -> the positive count is deterministic and
-    equals COUNT(DISTINCT o_custkey)."""
-    import numpy as np
-
-    from mgspark.aggregate import encode_tokens
-    from mgspark.sketches import bloom_build
+    """Distributed Bloom build over o_custkey, then a DISTRIBUTED probe
+    of every true member (broadcast filter state + mapInPandas — the
+    key set never reaches the driver, VERDICT r3 task #2): no false
+    negatives -> the positive count is deterministic and equals
+    COUNT(DISTINCT o_custkey)."""
+    from mgspark.sketches import bloom_build, bloom_probe
 
     orders = _read(spark, sf_dir, "orders")
     sketch, state = bloom_build(orders, "o_custkey", capacity=1_000_000)
-    member_keys = np.array(
-        [
-            r["_key"]
-            for r in encode_tokens(
-                orders.select("o_custkey").distinct(), "o_custkey", "_key"
-            )
-            .select("_key")
-            .collect()
-        ],
-        dtype="int64",
+    probed = bloom_probe(
+        orders.select("o_custkey").where(F.col("o_custkey").isNotNull()).distinct(),
+        "o_custkey",
+        sketch,
+        state,
     )
-    members = int(sketch.contains(state, member_keys).sum())
-    return spark.createDataFrame([(members,)], "members long")
+    return probed.agg(
+        F.sum(F.col("in_bloom").cast("long")).cast("long").alias("members")
+    )
 
 
 def q_hll_distinct_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,7 @@ from mgspark.sketches.base import splitmix64
 __all__ = [
     "exact_duplicate_groups",
     "dedup_exact",
+    "shingle_relation",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
@@ -96,6 +97,39 @@ def _shingle_hashes_batch(texts: pd.Series, size: int) -> list[np.ndarray]:
         )
         out.append(np.unique(h))
     return out
+
+
+def shingle_relation(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int = 5
+) -> DataFrame:
+    """Distributed (id, shingle) relation — one row per DISTINCT byte
+    shingle hash per document, the exact shingle universe MinHash
+    signatures are built over.  Lets exact Jaccard be computed with
+    joins + aggregates (sizes via groupBy, intersections via a
+    shingle-equality join) instead of collecting texts anywhere."""
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, False),
+            StructField("shingle", LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, hashes in zip(
+                pdf["_id"], _shingle_hashes_batch(pdf["_text"], shingle_size)
+            ):
+                ids.extend([doc_id] * len(hashes))
+                shingles.extend(hashes.tolist())
+            yield pd.DataFrame({"id": ids, "shingle": shingles})
+
+    projected = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    # _shingle_hashes_batch already dedups within a doc (np.unique),
+    # except the short-text fallback which emits one hash anyway.
+    return projected.mapInPandas(compute, schema)
 
 
 def minhash_signatures(

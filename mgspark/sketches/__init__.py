@@ -37,6 +37,7 @@ __all__ = [
     "hll_distinct",
     "cms_estimates",
     "bloom_build",
+    "bloom_probe",
     "tdigest_quantiles",
     "kll_quantiles",
     "tdigest_quantiles_grouped",
@@ -77,6 +78,44 @@ def bloom_build(df: DataFrame, col: str, capacity: int = 1_000_000, fpr: float =
     sketch = BloomFilter(capacity, fpr)
     state = sketch_agg(_encoded(df, col), "_key", sketch)
     return sketch, state
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    sketch: BloomFilter,
+    state: np.ndarray,
+    flag_col: str = "in_bloom",
+) -> DataFrame:
+    """Distributed membership probe: the input plus a boolean
+    ``flag_col`` (no false negatives; false positives at the filter's
+    fpr).  The serialized filter state is broadcast ONCE (m/8 bytes —
+    ~1.5 MB at capacity 1e6 / fpr 0.01) and probed inside Arrow-batched
+    ``mapInPandas``; no key set ever materializes on the driver, so the
+    probe scales with the executor fleet, not the driver heap.  Keys are
+    hashed with the same :func:`~mgspark.aggregate.encode_tokens` rule
+    as :func:`bloom_build`, so integral columns probe their raw values.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    encoded = _encoded(df, col)
+    blob = df.sparkSession.sparkContext.broadcast(sketch.serialize(state))
+    capacity, fpr = sketch.capacity, sketch.fpr
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(flag_col, BooleanType(), False)]
+    )
+    out_cols = [f.name for f in df.schema.fields]
+
+    def probe(batches):
+        sk = BloomFilter(capacity, fpr)
+        st = sk.deserialize(blob.value)
+        for pdf in batches:
+            keys = pdf["_key"].to_numpy(dtype="int64", na_value=0)
+            out = pdf[out_cols].copy()
+            out[flag_col] = sk.contains(st, keys)
+            yield out
+
+    return encoded.mapInPandas(probe, out_schema)
 
 
 def tdigest_quantiles(df: DataFrame, col: str, qs, compression: float = 200.0) -> np.ndarray:
