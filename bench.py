@@ -649,20 +649,23 @@ def main() -> None:
     write_bench_md(queries, meta, scaling)
 
     sf = sf_token
-    print(
-        json.dumps(
-            {
-                "metric": "mg_build_merge_and_query_wall",
-                "value": round(sum(queries.values()), 4),
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "throughput_tokens_per_sec": meta["repo_tokens_per_sec"],
-                "preagg_throughput_tokens_per_sec": meta["preagg_tokens_per_sec"],
-                "scaling": scaling,
-            }
-        )
-    )
+    result = {
+        "metric": "mg_build_merge_and_query_wall",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput_tokens_per_sec": meta["repo_tokens_per_sec"],
+        "preagg_throughput_tokens_per_sec": meta["preagg_tokens_per_sec"],
+        "scaling": scaling,
+    }
+    # The driver captures stdout's last line, which tail-truncation has
+    # mangled before (VERDICT r3 #4) — persist the full object to a
+    # self-contained artifact every roll.
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w", encoding="utf8") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -180,6 +180,83 @@ def test_ivf_build_once_reused_across_queries(spark, monkeypatch):
     assert calls["n"] == 1, f"centroids trained {calls['n']} times for 3 queries"
 
 
+def test_lsh_build_once_reused_across_queries(spark, monkeypatch):
+    """VERDICT r3 task #4: ann_lsh_topk must not recompute the
+    bucket-assignment scan per query — the session cache reuses one
+    LSHIndex for the same input (bucket assignment runs once for many
+    queries), and results match the uncached path."""
+    import numpy as np
+
+    import mgspark.pipeline.similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((200, 16)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    calls = {"n": 0}
+    real_buckets = sim.lsh_bucket_embeddings
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real_buckets(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "lsh_bucket_embeddings", counting)
+    sim.clear_index_cache()
+    got = []
+    for qi in (0, 1, 2, 0):
+        got.append(
+            {
+                r["id"]
+                for r in sim.ann_lsh_topk(
+                    df, "embedding", "vec_id", rows[qi][1], 5, n_planes=6, multiprobe=2
+                ).collect()
+            }
+        )
+    assert calls["n"] == 1, f"buckets assigned {calls['n']} times for 4 queries"
+    assert rows[0][0] in got[0] and got[0] == got[3]
+    # explicit prebuilt index: same answers, zero extra assignment scans
+    idx = sim.lsh_build(df, "embedding", "vec_id", n_planes=6)
+    before = calls["n"]
+    same = {
+        r["id"]
+        for r in sim.ann_lsh_topk(
+            df, "embedding", "vec_id", rows[0][1], 5, multiprobe=2, index=idx
+        ).collect()
+    }
+    assert same == got[0] and calls["n"] == before  # no per-query scans
+    sim.clear_index_cache()
+
+
+def test_lsh_index_dir_roundtrip(spark, tmp_path):
+    """lsh_build(index_dir=...) persists parquet partitioned by bucket +
+    plane metadata, reloads without re-assigning, and rebuilds on a
+    param mismatch."""
+    import numpy as np
+
+    import mgspark.pipeline.similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((120, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "lshidx")
+    idx = sim.lsh_build(df, "embedding", "vec_id", n_planes=5, index_dir=d)
+    top = {r["id"] for r in idx.topk(rows[0][1], 5, multiprobe=2).collect()}
+    assert rows[0][0] in top
+    # reload: same planes, same results, served from parquet
+    idx2 = sim.lsh_build(df, "embedding", "vec_id", n_planes=5, index_dir=d)
+    assert np.allclose(idx.planes, idx2.planes)
+    assert {r["id"] for r in idx2.topk(rows[0][1], 5, multiprobe=2).collect()} == top
+    # param mismatch rebuilds with fresh planes
+    idx3 = sim.lsh_build(df, "embedding", "vec_id", n_planes=7, index_dir=d)
+    assert idx3.planes.shape[0] == 7
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """LSH-bucketed embedding near-dup must find planted near-identical
     vectors (cosine >= 0.98) and agree with the exact method on them."""
@@ -277,15 +354,15 @@ def test_ivf_cache_evicts_oldest_first(spark, monkeypatch):
         )
         for _ in range(3)
     ]
-    monkeypatch.setattr(sim, "_IVF_CACHE_MAX", 2)
+    monkeypatch.setattr(sim, "_INDEX_CACHE_MAX", 2)
     sim.clear_ivf_cache()
     q = dfs[0].first()["embedding"]
     indexes = []
     for df in dfs:
         sim.ann_ivf_topk(df, "embedding", "vec_id", q, 3, n_centroids=4).collect()
-        indexes.append(list(sim._IVF_CACHE.values())[-1])
-    assert len(sim._IVF_CACHE) == 2
-    cached = set(map(id, sim._IVF_CACHE.values()))
+        indexes.append(list(sim._INDEX_CACHE.values())[-1])
+    assert len(sim._INDEX_CACHE) == 2
+    cached = set(map(id, sim._INDEX_CACHE.values()))
     assert id(indexes[0]) not in cached, "oldest index must be evicted"
     assert id(indexes[1]) in cached and id(indexes[2]) in cached
     assert not indexes[0].indexed.is_cached, "evicted index must be unpersisted"
