@@ -778,8 +778,11 @@ _ASSETS_PARQUET = os.path.join(
 )
 
 
+# v2: mixed row strides (odd widths -> 1-3 padding bytes per row) so the
+# oracle exercises the decoder's padding-strip path; the filename bump
+# invalidates any v1 fixture generated by earlier rounds.
 _BMP_PARQUET = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "bmp_assets.parquet"
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "bmp_assets_v2.parquet"
 )
 
 # Clustered embedding fixture for the LSH near-dup recall invariant (the
@@ -1370,15 +1373,18 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_BMP_PARQUET}')), "
             # width: int32 LE at byte offset 18 -> hex chars 37-44;
             # height: offset 22 -> chars 45-52 (1-based substr positions)
-            "parsed AS (SELECT asset_id, "
+            "parsed AS (SELECT asset_id, h, "
             "CAST(('0x' || substr(h,43,2) || substr(h,41,2) || substr(h,39,2) || substr(h,37,2)) AS BIGINT) AS width, "
             "CAST(('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2) || substr(h,45,2)) AS BIGINT) AS height "
             "FROM hx), "
-            # pixel data starts at byte 54 (hex char 109); no padding
-            # bytes because fixture widths are multiples of 4
+            # pixel data starts at byte 54; rows are padded to 4-byte
+            # strides, so index (row, byte-in-row) explicitly and skip
+            # the per-row padding (mixed-stride fixture, odd widths)
             "px AS (SELECT asset_id, "
-            "SUM(CAST(('0x' || substr(h, 109 + 2*u.i, 2)) AS BIGINT))::BIGINT AS px_sum "
-            "FROM hx, LATERAL (SELECT unnest(range(0, (len(h) - 108) // 2)) AS i) u "
+            "SUM(CAST(('0x' || substr(h, 2*(54 + ur.r*((width*3+3)//4*4) + ub.b) + 1, 2)) AS BIGINT))::BIGINT AS px_sum "
+            "FROM parsed, "
+            "LATERAL (SELECT unnest(range(height)) AS r) ur, "
+            "LATERAL (SELECT unnest(range(width*3)) AS b) ub "
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
@@ -1392,9 +1398,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM hx), "
             # nearest-neighbor source byte for output (i, j), channel c:
             # BMP rows are stored bottom-up with stride = width*3 (no
-            # padding in the fixture); byte offset 54 + row*stride + col*3 + c
+            # byte offset 54 + row*stride + col*3 + c, with the 4-byte
+            # padded row stride (mixed-stride fixture, odd widths)
             "px AS (SELECT asset_id, "
-            "SUM(CAST(('0x' || substr(h, 2*(54 + (height-1 - (ui.i*height)//16)*width*3 "
+            "SUM(CAST(('0x' || substr(h, 2*(54 + (height-1 - (ui.i*height)//16)*((width*3+3)//4*4) "
             "+ ((uj.j*width)//16)*3 + uc.c) + 1, 2)) AS BIGINT))::BIGINT AS px_sum "
             "FROM parsed, "
             "LATERAL (SELECT unnest(range(16)) AS i) ui, "
