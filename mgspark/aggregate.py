@@ -205,6 +205,100 @@ def dictionary_encode(
     return encoded, {i: value for i, value in enumerate(values)}, len(values)
 
 
+def dictionary_encode_distributed(
+    df: DataFrame, col: str, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Dense dictionary encoding onto ``[0, U)`` with the dictionary
+    kept as a DISTRIBUTED DataFrame — the scale path above
+    :func:`dictionary_encode`'s driver cap (VERDICT r3 task #6): no
+    distinct set ever materializes on the driver, so a 1M+-distinct
+    column works.
+
+    Id assignment is the classic two-phase dense rank: range-partition
+    the distinct values by ``col``, rank within each partition, collect
+    only the O(num_partitions) per-partition COUNTS to compute offsets,
+    and add them back via a broadcast join.  The resulting id of a value
+    is exactly the number of distinct values sorting below it — dense,
+    deterministic, independent of sampling/partitioning — and U comes
+    from the same partition counts (one distributed aggregation, no
+    driver dictionary).
+
+    Returns ``(encoded df with a long 'key' column, dict_df with
+    (value-col, key) rows, U)``.  Null values are skipped.  Decode
+    released keys with :func:`decode_dictionary_keys` — an O(k)
+    broadcast-filtered collect, never the full dictionary.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window as _W
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    distinct = df.select(col).where(F.col(col).isNotNull()).distinct()
+    ranged = distinct.repartitionByRange(num_partitions, F.col(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from mgspark.cacheutil import transient_persist
+
+    # ranked feeds BOTH the offsets aggregation and the final dictionary —
+    # persist so the distinct+range shuffle runs once.
+    ranked = transient_persist(
+        ranged.withColumn(
+            "_lid",
+            F.row_number().over(_W.partitionBy("_pid").orderBy(col)) - 1,
+        )
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, total = {}, 0
+    for pid, n in counts:
+        offsets[pid] = total
+        total += n
+    tmp_key = "_dict_key"
+    while tmp_key in df.columns:
+        tmp_key += "_"
+    if not counts:
+        empty_dict = distinct.withColumn(tmp_key, F.lit(0).cast("long")).limit(0)
+        encoded = df.join(empty_dict, col, "inner").withColumnRenamed(tmp_key, "key")
+        return encoded, _dict_public(empty_dict, col, tmp_key), 0
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    dict_int = (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .select(col, (F.col("_off") + F.col("_lid")).cast("long").alias(tmp_key))
+    )
+    encoded = df.join(dict_int, col, "inner")
+    if "key" in encoded.columns and tmp_key != "key":
+        encoded = encoded.drop("key")
+    encoded = encoded.withColumnRenamed(tmp_key, "key")
+    return encoded, _dict_public(dict_int, col, tmp_key), total
+
+
+def _dict_public(dict_int: DataFrame, col: str, tmp_key: str) -> DataFrame:
+    """Public (value, key) shape for a distributed dictionary; a value
+    column literally named 'key' is renamed 'key_value' so the dense id
+    can own the 'key' name."""
+    if col == "key":
+        dict_int = dict_int.withColumnRenamed(col, "key_value")
+    return dict_int.withColumnRenamed(tmp_key, "key")
+
+
+def decode_dictionary_keys(
+    dict_df: DataFrame, keys, col: str | None = None
+) -> dict[int, object]:
+    """Decode released dense ids through a distributed dictionary:
+    broadcast the (tiny) released key set as an IN-filter and collect
+    only the <= len(keys) surviving rows."""
+    keys = [int(k) for k in keys]
+    if not keys:
+        return {}
+    value_col = col or [c for c in dict_df.columns if c != "key"][0]
+    rows = dict_df.where(F.col("key").isin(keys)).collect()
+    return {int(r["key"]): r[value_col] for r in rows}
+
+
 def _update_exemplars(
     exemplars: dict[int, str],
     state_keys: np.ndarray,

@@ -187,20 +187,33 @@ def spark_sketch(argv: list[str]) -> None:
     df = load_table(spark, path, columns=[column])
 
     decode = None
+    decode_dict_df = None
     if delta > 0:
         encoded = encode_tokens(df, column)
     elif universe_arg == "auto":
         # Dictionary universe: dense ids [0, U) over the distinct values
-        # (nulls skipped, broadcast-join encoding — shared helper with
-        # the driver contract's pure-DP query).
-        from mgspark.aggregate import dictionary_encode  # noqa: PLC0415
+        # (nulls skipped).  Small dictionaries use the broadcast-join
+        # driver encoding (shared helper with the driver contract's
+        # pure-DP query); above its cap the dictionary STAYS a
+        # distributed DataFrame (range-partitioned dense rank, VERDICT
+        # r3 task #6) — U comes from a distributed count and only the
+        # <= k released keys are ever decoded driver-side.
+        from mgspark.aggregate import (  # noqa: PLC0415
+            dictionary_encode,
+            dictionary_encode_distributed,
+        )
 
-        encoded, inverse, dict_size = dictionary_encode(df, column)
+        try:
+            encoded, inverse, dict_size = dictionary_encode(df, column)
+            decode = lambda key: inverse.get(key, f"u{key}")  # noqa: E731
+        except ValueError:
+            encoded, decode_dict_df, dict_size = dictionary_encode_distributed(
+                df, column
+            )
         encoded = encoded.select("key")
         # A larger universe only raises the release threshold — the
         # privacy-safe direction — so clamp above the sketch size.
         universe_size = max(dict_size, k) + 1
-        decode = lambda key: inverse.get(key, f"u{key}")  # noqa: E731
     else:
         universe_size = int(universe_arg)
         dtype = dict(df.dtypes)[column]
@@ -233,6 +246,15 @@ def spark_sketch(argv: list[str]) -> None:
         private = dp.privatize_merged(sketch, k, epsilon, delta)
     else:
         private = dp.purely_privatize_merged(sketch, k, epsilon, universe_size)
+    if decode_dict_df is not None:
+        # Distributed dictionary: decode only the released/sketched keys
+        # (O(k) rows) through a broadcast-filtered collect.
+        from mgspark.aggregate import decode_dictionary_keys  # noqa: PLC0415
+
+        mapping = decode_dictionary_keys(
+            decode_dict_df, set(sketch) | set(private)
+        )
+        decode = lambda key: mapping.get(key, f"u{key}")  # noqa: E731
     if decode is not None:
         sketch = {decode(key): counter for key, counter in sketch.items()}
         private = {decode(key): counter for key, counter in private.items()}

@@ -462,6 +462,88 @@ def test_spark_cli_pure_dp_explicit_universe_range_checked(spark, tmp_path):
         spark_sketch(["mgspark", "spark", "3", "5.0", "0", "100", path, "v"])
 
 
+def test_dictionary_encode_distributed_dense_sorted_ids(spark):
+    """Distributed dictionary encoding: ids are exactly the global sort
+    rank of the distinct values — dense [0, U), deterministic regardless
+    of partitioning — U matches COUNT(DISTINCT), nulls are skipped, and
+    decode_dictionary_keys returns only the asked-for keys."""
+    from mgspark.aggregate import (
+        decode_dictionary_keys,
+        dictionary_encode_distributed,
+    )
+
+    vals = ["m", "a", "z", "a", None, "k", "m", "q"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(5)
+    encoded, dict_df, u = dictionary_encode_distributed(df, "v", num_partitions=3)
+    assert u == 5  # a k m q z
+    expected_rank = {v: i for i, v in enumerate(sorted({v for v in vals if v}))}
+    got = {r["v"]: r["key"] for r in dict_df.collect()}
+    assert got == expected_rank
+    enc_rows = [(r["v"], r["key"]) for r in encoded.collect()]
+    assert len(enc_rows) == 7  # null row dropped
+    assert all(expected_rank[v] == k for v, k in enc_rows)
+    assert decode_dictionary_keys(dict_df, [0, 4]) == {0: "a", 4: "z"}
+    assert decode_dictionary_keys(dict_df, []) == {}
+
+
+def test_dictionary_encode_distributed_preexisting_key_column(spark):
+    """Same collision contract as dictionary_encode: an input 'key'
+    column is replaced by the dense id, never ambiguous."""
+    from mgspark.aggregate import dictionary_encode_distributed
+
+    df = spark.createDataFrame([("b", 9), ("a", 8)], "v string, key int")
+    encoded, dict_df, u = dictionary_encode_distributed(df, "v")
+    assert u == 2 and encoded.columns.count("key") == 1
+    assert sorted(r["key"] for r in encoded.select("key").collect()) == [0, 1]
+
+
+def test_spark_cli_pure_dp_million_distinct_distributed_universe(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """VERDICT r3 task #6: pure-DP `auto` must work on a 1M-distinct
+    column WITHOUT a driver-side dictionary.  The driver encoding is
+    poisoned (any call raises as if over its cap), forcing the
+    distributed path; the release must still decode its keys correctly
+    and derive U from the distributed count."""
+    import mgspark.aggregate as agg
+    from mgspark.cli import spark_sketch
+
+    def over_cap(*a, **k):
+        raise ValueError("poisoned: driver-side dictionary forbidden in this test")
+
+    monkeypatch.setattr(agg, "dictionary_encode", over_cap)
+
+    path = str(tmp_path / "hi_card.parquet")
+    base = spark.range(1_000_000).select(F.col("id").cast("long").alias("v"))
+    heavy = spark.range(400_000).select(F.lit(424242).cast("long").alias("v"))
+    base.unionByName(heavy).write.parquet(path)
+
+    spark_sketch(["mgspark", "spark", "8", "50.0", "0", "auto", path, "v"])
+    out = capsys.readouterr().out
+    lines = {
+        line.split(":", 1)[0].strip(): line.split(":", 1)[1].strip()
+        for line in out.splitlines()
+        if ":" in line
+    }
+    # the heavy hitter survives the sketch and decodes to its value
+    # (dense id of 424242 among 0..999999 is 424242 itself)
+    sketch = eval(lines["Sketch"])  # printed dict of decoded keys
+    assert 424242 in sketch and sketch[424242] > 0
+    n, d = (int(x) for x in lines["N, d"].split())
+    assert n == 1_400_000
+    private = eval(lines["Private sketch"])
+    # pure DP CAN invent keys (binomial rejection-sampling upgrades draw
+    # fresh uniform universe keys) — every released key must still decode
+    # through the distributed dictionary: dense ids < 1M map back to the
+    # original values (identity here), only ids beyond the dictionary
+    # (universe clamp head-room) print as u<id>
+    for key in private:
+        if isinstance(key, str):
+            assert key.startswith("u"), key
+        else:
+            assert 0 <= key < 1_000_000, key
+
+
 def test_dictionary_encode_null_safe_and_bounded(spark):
     """dictionary_encode skips nulls and raises past max_distinct."""
     import pytest as _pytest
