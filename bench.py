@@ -150,6 +150,7 @@ HEADLINE_QUERIES = [
     "cms_returnflag",
     "bloom_orders_custkey",
     "dedup_exact_count",
+    "dedup_near_simhash",
     "minhash_dedup_pairs",
     "simhash_near_pairs",
     "cosine_topk",

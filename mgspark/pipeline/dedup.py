@@ -651,22 +651,25 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 128,
     eager_cache: bool = True,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
+    """Word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
 
     Expressed as pure DataFrame ops (explode -> self-join on n-gram ->
-    count intersections -> Jaccard), so it is SQL-oracle-able.  Intended
-    for bounded candidate sets or small tables; the LSH path is the scale
-    route, this is the exact oracle-side.
+    count intersections -> Jaccard), so it is SQL-oracle-able.
 
     ``max_doc_freq`` drops grams shared by more than that many documents
     *before* sizes and intersections are computed (a boilerplate gram in
     D docs contributes D^2 join rows): the result is then exact Jaccard
     over the non-boilerplate gram universe — the standard stop-gram
-    trade-off.  Leave it None for fully exact semantics (the
-    oracle-checked default).
+    trade-off.  The DEFAULT is capped (128): the copy-paste usage is
+    then scale-safe — a single boilerplate gram cannot go quadratic —
+    and on corpora without hot grams it equals the exact result.  Pass
+    ``max_doc_freq=None`` explicitly for fully exact semantics (the
+    oracle-side twin; quadratic in a hot gram's document frequency by
+    definition); the MinHash LSH path is the preferred scale route for
+    whole-corpus near-dup mining either way.
     """
     from mgspark.cacheutil import transient_persist
 

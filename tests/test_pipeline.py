@@ -364,7 +364,7 @@ def test_ngram_jaccard_exact(spark, dup_fixture):
     small = df.where(
         F.col("doc_id").isin([int(x) for x in small_ids]) | (F.col("doc_id") < 30)
     )
-    pairs = ngram_jaccard_pairs(small, "text", "doc_id", n=3, threshold=0.9).collect()
+    pairs = ngram_jaccard_pairs(small, "text", "doc_id", n=3, threshold=0.9, max_doc_freq=None).collect()
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     for orig, copy in exact_pairs:
         key = (min(orig, copy), max(orig, copy))

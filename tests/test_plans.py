@@ -151,7 +151,7 @@ def test_ngram_doc_freq_cap_is_broadcast_anti_join(docs):
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
     uncapped = _formatted(
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, eager_cache=False)
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=None, eager_cache=False)
     ).split("\n\n")[0]
     capped = _formatted(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8, eager_cache=False)
