@@ -104,8 +104,14 @@ def test_connected_components_chains_and_isolates(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    labels = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # both execution paths must agree: single-task union-find (default
+    # at this size) and the iterative label propagation (forced)
+    for thr in (2_000_000, 0):
+        labels = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, local_threshold=thr).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     comps = {(r["keep_id"], r["size"]) for r in near_dup_components(pairs).collect()}
     assert comps == {(1, 3), (10, 2)}
     docs = spark.createDataFrame(
@@ -123,8 +129,12 @@ def test_connected_components_string_ids(spark):
     pairs = spark.createDataFrame(
         [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
     )
-    labels = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
-    assert labels == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+    for thr in (2_000_000, 0):
+        labels = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, local_threshold=thr).collect()
+        }
+        assert labels == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
     docs = spark.createDataFrame(
         [(i, "t") for i in ["doc-a", "doc-b", "doc-c", "doc-z"]],
         "doc_id string, text string",
@@ -153,7 +163,12 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    labels = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=10).collect()}
+    # local_threshold=0 forces the ITERATIVE path — this test pins the
+    # pointer-jumping convergence budget, which union-find would bypass
+    labels = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, max_iter=10, local_threshold=0).collect()
+    }
     assert set(labels.values()) == {0} and len(labels) == 41
 
 
@@ -1032,6 +1047,57 @@ def test_asof_join_null_value_columns_come_from_matched_row(spark):
     # both columns from the 00:07 row: null price, 'new' tag
     assert out[0]["price_asof"] is None
     assert out[0]["tag_asof"] == "new"
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """direction='forward' picks the EARLIEST right row at-or-after each
+    left ts; 'nearest' picks the closer side with ties going backward
+    (pandas merge_asof convention); null left ts yields null in every
+    direction (the desc sort would otherwise fill them forward)."""
+    import pytest as _pytest
+
+    from mgspark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:05:00"),  # back 00:01->10, fwd 00:07->20
+            (101, 1, "2024-01-01 00:07:00"),  # equal ts visible both ways
+            (102, 1, "2024-01-01 00:00:30"),  # before all: back null, fwd 10
+            (103, 1, "2024-01-01 00:09:00"),  # after all: fwd null, back 20
+            (104, 1, None),                   # null ts: null everywhere
+            (105, 1, "2024-01-01 00:04:00"),  # nearest tie 00:01/00:07 -> backward
+        ],
+        "event_id long, uid long, ts_s string",
+    ).select("event_id", "uid", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 10.0),
+            (1, "2024-01-01 00:07:00", 20.0),
+        ],
+        "uid long, rts_s string, price double",
+    ).select("uid", F.col("rts_s").cast("timestamp").alias("rts"), "price")
+
+    def run(direction):
+        return {
+            r["event_id"]: r["price_asof"]
+            for r in asof_join(
+                left, right, "uid", "ts", "rts", ["price"], direction=direction
+            ).collect()
+        }
+
+    assert run("backward") == {
+        100: 10.0, 101: 20.0, 102: None, 103: 20.0, 104: None, 105: 10.0
+    }
+    assert run("forward") == {
+        100: 20.0, 101: 20.0, 102: 10.0, 103: None, 104: None, 105: 20.0
+    }
+    # 100 at 00:05: back 4min vs fwd 2min -> 20; 105 at 00:04: exact tie
+    # 3min both ways -> backward 10
+    assert run("nearest") == {
+        100: 20.0, 101: 20.0, 102: 10.0, 103: 20.0, 104: None, 105: 10.0
+    }
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "uid", "ts", "rts", ["price"], direction="sideways")
 
 
 def test_sessionize_null_timestamps_sort_last_and_never_start_sessions(spark):
