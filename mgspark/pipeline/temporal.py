@@ -104,30 +104,44 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets ``value_cols`` from the
-    LATEST right row with ``right.ts <= left.ts`` for the same key
-    (null when no prior right row exists).
+    """As-of join: each left row gets ``value_cols`` from one matching
+    right row for the same key (null when no such row exists), where
+    "matching" depends on ``direction``:
+
+    * ``"backward"`` (default, SQL ASOF JOIN): the LATEST right row with
+      ``right.ts <= left.ts``;
+    * ``"forward"``: the EARLIEST right row with ``right.ts >= left.ts``;
+    * ``"nearest"``: whichever of the two is closer in time (ties go
+      backward — the pandas ``merge_asof`` convention).
 
     Implementation is the scalable union trick, not a range join: tag
-    both sides, union, sort by (key, ts, side) once, and propagate the
-    last seen right-side ROW — one struct holding every value column,
-    non-null exactly when a right row exists — with a single
-    ``last(ignoreNulls)`` running window; then keep the left rows and
-    project struct fields.  Carrying the whole row as one struct (not
-    one ``last`` per column) guarantees all values come from the SAME
-    latest matching right row even when some of its value columns are
-    NULL — per-column fills would skip a null and surface an older
-    row's value instead.  One hash exchange on the key and
-    one sort — O(n log n) per partition, versus the quadratic blowup a
-    naive ``left.ts >= right.ts`` theta-join gives Spark (which can only
-    nested-loop it per key).  Right rows sort BEFORE left rows at equal
-    timestamps, so an exactly-simultaneous right row is visible
+    both sides, union, sort by (key, ts, side) once per direction, and
+    propagate the last seen right-side ROW — one struct holding the
+    right timestamp plus every value column, non-null exactly when a
+    right row exists — with a single ``last(ignoreNulls)`` running
+    window; then keep the left rows and project struct fields.
+    Carrying the whole row as one struct (not one ``last`` per column)
+    guarantees all values come from the SAME matching right row even
+    when some of its value columns are NULL — per-column fills would
+    skip a null and surface a different row's value instead.  One hash
+    exchange on the key and one sort per needed direction (two for
+    ``nearest``, sharing the exchange) — O(n log n) per partition,
+    versus the quadratic blowup a naive ``left.ts >= right.ts``
+    theta-join gives Spark (which can only nested-loop it per key).
+    Right rows sort BEFORE left rows at equal timestamps in every
+    direction, so an exactly-simultaneous right row is visible
     (inclusive semantics, matching SQL ASOF JOIN).
 
     Output: all left columns plus ``<value_col><suffix>`` for each
     requested right column.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
+        )
     for c in value_cols:
         if c not in right.columns:
             raise ValueError(f"value column {c!r} not in right side")
@@ -139,8 +153,12 @@ def asof_join(
     lcols = left.columns
     from pyspark.sql.types import StructField, StructType
 
+    rts_field = "_rts"
+    while rts_field in value_cols:
+        rts_field += "_"
     row_type = StructType(
-        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+        [StructField(rts_field, right.schema[right_ts].dataType, True)]
+        + [StructField(c, right.schema[c].dataType, True) for c in value_cols]
     )
     tagged_left = left.select(
         F.col(key_col).alias("_k"),
@@ -154,29 +172,65 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{i}") for i, c in enumerate(lcols)],
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
+        F.struct(
+            F.col(right_ts).alias(rts_field),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_r"),
     )
     # SQL ASOF semantics: a null key never matches (equality) and a null
-    # right timestamp never satisfies right.ts <= left.ts — drop both
+    # right timestamp never satisfies the time predicate — drop both
     # from the fill side (null-ts rows would otherwise sort FIRST and
-    # fill every left row that has no earlier real right row).  Null-key
-    # or null-ts left rows survive with null as-of values.
+    # fill every left row that has no matching real right row).
+    # Null-key or null-ts left rows survive with null as-of values
+    # (enforced explicitly below — sort placement of nulls differs
+    # between the asc and desc windows).
     unioned = tagged_left.unionByName(
         tagged_right.where(F.col("_k").isNotNull() & F.col("_ts").isNotNull())
     )
-    w = (
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy("_k")
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(*frame)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last(F.col("_r"), ignorenulls=True).over(w_back).alias("_rb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.last(F.col("_r"), ignorenulls=True).over(w_fwd).alias("_rf"))
     filled = unioned.select(
         "_side",
+        "_ts",
         *[F.col(f"_l_{i}") for i in range(len(lcols))],
-        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
+        *fills,
     )
+    if direction == "backward":
+        chosen = F.col("_rb")
+    elif direction == "forward":
+        chosen = F.col("_rf")
+    else:
+        d_back = F.abs(
+            _epoch_sec(F.col("_ts")) - _epoch_sec(F.col("_rb").getField(rts_field))
+        )
+        d_fwd = F.abs(
+            _epoch_sec(F.col("_ts")) - _epoch_sec(F.col("_rf").getField(rts_field))
+        )
+        chosen = (
+            F.when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(F.col("_rf").isNull(), F.col("_rb"))
+            # ties (d_fwd == d_back) go backward, pandas-style
+            .when(d_fwd < d_back, F.col("_rf"))
+            .otherwise(F.col("_rb"))
+        )
+    chosen = F.when(F.col("_ts").isNotNull(), chosen)
     return filled.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{i}").alias(c) for i, c in enumerate(lcols)],
-        *[F.col("_r").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+        *[chosen.getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )
 
 
