@@ -1092,6 +1092,26 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "best_price_asof")
 
 
+def q_asof_forward_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event picks the customer's earliest
+    order at-or-after the event time — same union+window plan with the
+    reversed sort direction, oracled against DuckDB's ASOF JOIN with the
+    <= comparator."""
+    from mgspark.pipeline.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    joined = asof_join(
+        ev, orders, "user_id", "ts", "o_orderdate", ["best_price"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "best_price_asof")
+
+
 def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling features over events — RANGE
     frame on integer epoch micros (mgspark/pipeline/temporal.py), the
@@ -1292,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
+        "asof_forward_orders": q_asof_forward_orders,
         "rolling_event_features": q_rolling_event_features,
         # similarity / near-dup (oracle-checked invariant rows)
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
@@ -1305,7 +1326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcm_waveform_stats": q_pcm_waveform_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
-        "kll_value_quantiles": q_kll_value_quantiles,
         # --------- position 51+: long-stable redundant variants ---------
         # (still registered + benched; their oracle-checked siblings or
         # invariant companions above carry the correctness signal)
@@ -1324,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_byte_histogram": q_asset_byte_histogram,
         "hll_distinct_user_id": q_hll_distinct_user_id,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        # rows-only; its oracle-checked companion quantile_rank_bounds
+        # sits in the window
+        "kll_value_quantiles": q_kll_value_quantiles,
     }
 
 
@@ -1539,6 +1562,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, o.best_price AS best_price_asof "
             "FROM events e ASOF LEFT JOIN ords o "
             "ON e.user_id = o.user_id AND e.ts >= o.o_orderdate"
+        ),
+        "asof_forward_orders": (
+            "WITH ords AS (SELECT o_custkey AS user_id, o_orderdate, "
+            "MAX(o_totalprice) AS best_price FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, o.best_price AS best_price_asof "
+            "FROM events e ASOF LEFT JOIN ords o "
+            "ON e.user_id = o.user_id AND e.ts <= o.o_orderdate"
         ),
         "rolling_event_features": (
             "SELECT event_id, user_id, "
