@@ -113,6 +113,23 @@ def main() -> None:
         tree(minhash_dedup_pairs(docs.limit(200), "text", "doc_id", threshold=0.7)),
     ))
 
+    from mgspark.pipeline.similarity import lsh_build
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = lsh_build(emb, "embedding", "vec_id", n_planes=6)
+    qvec = emb.first()["embedding"]
+    sections.append((
+        "ANN via build-once LSH index: probe filter over the cached index",
+        "The query plan reads ONLY the persisted (id, vec, bucket) index "
+        "(InMemoryTableScan) behind a bucket IN-list filter — no "
+        "MapInPandas bucket re-assignment appears anywhere, because the "
+        "assignment pass ran once at lsh_build time; with a parquet "
+        "index_dir the same filter prunes bucket partitions at the "
+        "source.",
+        tree(idx.topk(qvec, 5, multiprobe=1)),
+    ))
+    idx.indexed.unpersist()
+
     sections.append((
         "n-gram Jaccard, doc-freq capped (scale path)",
         "The max_doc_freq stop-gram cap is a map-side-combinable "

@@ -226,3 +226,35 @@ def test_sessionize_one_exchange_two_windows_share_sort(docs):
     plan = _formatted(sessionize(ev, "uid", "ts", 600)).split("\n\n")[0]
     assert plan.count("Exchange (") == 1, plan
     assert plan.count("Sort (") == 1, plan
+
+
+def test_lsh_index_topk_reads_cached_index_only(docs):
+    """A warm LSH-index query must read ONLY the persisted (id, vec,
+    bucket) table behind a bucket IN-list filter: InMemoryTableScan
+    present, and NO Python bucket re-assignment node (MapInPandas) —
+    the assignment pass belongs to lsh_build, not the query."""
+    import numpy as np
+
+    import mgspark.pipeline.similarity as sim
+
+    spark = docs.sparkSession
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in v / np.linalg.norm(v)])
+        for i, v in enumerate(rng.standard_normal((100, 8)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = sim.lsh_build(emb, "embedding", "vec_id", n_planes=5)
+    try:
+        full = _formatted(idx.topk(rows[0][1], 5, multiprobe=1))
+        plan = full.split("\n\n")[0]
+        assert "InMemoryTableScan" in plan, plan
+        # everything ABOVE the cache boundary is the query's own work:
+        # no Python re-assignment there (MapInPandas below the boundary
+        # is just the cache's recompute lineage, not executed warm)
+        query_side = plan.split("InMemoryTableScan")[0]
+        assert "MapInPandas" not in query_side, plan
+        # the probe predicate is the bucket IN-list (details section)
+        assert "bucket" in full and "IN (" in full, full
+    finally:
+        idx.indexed.unpersist()
