@@ -543,8 +543,21 @@ def q_minhash_est_vs_true_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     stats = (
         pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        # LEFT joins: a zero-shingle doc (empty text — sentinel MinHash
+        # signature) has no sizes row; an inner join would silently drop
+        # its pairs from the invariant instead of scoring true_j = 0
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+            "left",
+        )
+        .withColumn("sz_a", F.coalesce(F.col("sz_a"), F.lit(0)))
+        .withColumn("sz_b", F.coalesce(F.col("sz_b"), F.lit(0)))
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
         .withColumn(
             "true_j",

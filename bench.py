@@ -223,13 +223,13 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
                 if _pass > 0:
                     timed(name, lambda: _build_merge_job(spark, repo_dir, True))
             else:
-                if name == "ann_ivf_topk":
+                if name in ("ann_ivf_topk", "ann_lsh_topk"):
                     # Both passes must measure the same work (cold index
                     # build + probe): the plan-keyed session cache would
                     # otherwise let pass 2 time a cache-hit probe only.
-                    from mgspark.pipeline.similarity import clear_ivf_cache
+                    from mgspark.pipeline.similarity import clear_index_cache
 
-                    clear_ivf_cache()
+                    clear_index_cache()
                 # Same cold-measurement rule for operators that persist
                 # intermediates (minhash signatures, ngram grams):
                 # Spark's CacheManager substitutes an identical rebuilt

@@ -260,7 +260,10 @@ def dictionary_encode_distributed(
         tmp_key += "_"
     if not counts:
         empty_dict = distinct.withColumn(tmp_key, F.lit(0).cast("long")).limit(0)
-        encoded = df.join(empty_dict, col, "inner").withColumnRenamed(tmp_key, "key")
+        encoded = df.join(empty_dict, col, "inner")
+        if "key" in encoded.columns and tmp_key != "key":
+            encoded = encoded.drop("key")
+        encoded = encoded.withColumnRenamed(tmp_key, "key")
         return encoded, _dict_public(empty_dict, col, tmp_key), 0
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"

@@ -530,37 +530,53 @@ def simhash_near_pairs(
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Vectorized in-bucket expansion: a bucket of B members has
-        # B*(B-1)/2 candidate slots — triu_indices + SWAR popcount do
-        # that in numpy instead of a Python nested loop (which was the
-        # dominant cost on clustered corpora: tens of millions of loop
-        # iterations), and the hamming filter runs HERE so only true
-        # pairs enter the cross-bucket distinct shuffle, not every
-        # candidate slot.
+        # B*(B-1)/2 candidate slots — index arithmetic + SWAR popcount
+        # do that in numpy instead of a Python nested loop (which was
+        # the dominant cost on clustered corpora: tens of millions of
+        # loop iterations), and the hamming filter runs HERE so only
+        # true pairs enter the cross-bucket distinct shuffle, not every
+        # candidate slot.  Expansion is ROW-BLOCKED (~8M slots per
+        # block) so a giant bucket under a permissive cap cannot
+        # materialize O(B^2) index arrays in one worker.
         for pdf in batches:
             out = []
             for members in pdf["members"]:
-                m = len(members)
-                if m < 2:
+                if len(members) < 2:
                     continue
-                ids = np.array([mm["id"] for mm in members])
-                shs = np.array(
+                raw_ids = np.array([mm["id"] for mm in members])
+                raw_shs = np.array(
                     [int(mm["simhash"]) for mm in members], dtype=np.int64
                 )
-                order = np.argsort(ids, kind="stable")  # id_a < id_b
-                ids, shs = ids[order], shs[order]
-                ii, jj = np.triu_indices(m, k=1)
-                ham = _popcount64(shs[ii] ^ shs[jj])
-                keep = ham <= ham_cap
-                if keep.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": ids[ii[keep]],
-                                "id_b": ids[jj[keep]],
-                                "hamming": ham[keep],
-                            }
+                # np.unique both sorts (id_a < id_b ordering) and drops
+                # duplicate member rows of the same id, which would
+                # otherwise emit id_a == id_b self-pairs
+                ids, first = np.unique(raw_ids, return_index=True)
+                shs = raw_shs[first]
+                m = len(ids)
+                if m < 2:
+                    continue
+                blk = max(1, 8_000_000 // m)
+                for i0 in range(0, m - 1, blk):
+                    i1 = min(i0 + blk, m - 1)
+                    rows = np.arange(i0, i1)
+                    ii = np.repeat(rows, m - 1 - rows)
+                    jj = np.concatenate(
+                        [np.arange(i + 1, m) for i in rows]
+                    ) if len(rows) else np.empty(0, dtype=np.int64)
+                    if not len(ii):
+                        continue
+                    ham = _popcount64(shs[ii] ^ shs[jj])
+                    keep = ham <= ham_cap
+                    if keep.any():
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": ids[ii[keep]],
+                                    "id_b": ids[jj[keep]],
+                                    "hamming": ham[keep],
+                                }
+                            )
                         )
-                    )
             if out:
                 yield pd.concat(out, ignore_index=True)
 

@@ -278,6 +278,20 @@ def test_simhash_full_recall_at_hamming_8(spark):
     assert got == expected
 
 
+def test_simhash_duplicate_rows_never_emit_self_pairs(spark):
+    """The same (doc_id, text) row appearing twice (un-deduped upstream
+    union) must not surface an id_a == id_b self-pair: bucket members
+    are deduped by id before expansion."""
+    rows = [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    ]
+    assert got == [(1, 2, 0)], got
+
+
 def test_simhash_extreme_radius_degrades_to_all_pairs(spark):
     """max_hamming >= 63 cannot be served by any chunk index (ADVICE r3):
     it must degrade to the exact all-pairs join instead of raising, and
