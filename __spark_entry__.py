@@ -717,6 +717,58 @@ def q_streaming_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).agg(F.count("*").cast("long").alias("kept"))
 
 
+def q_streaming_hll_distinct_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch composition: HLL registers as
+    applyInPandasWithState state over the events stream, sharded by key
+    hash (disjoint shard key sets -> register-max merge of the latest
+    shard rows IS the HLL of the union).  Both HLL paths are
+    hash-deterministic, so two facts are oracle-checkable: the estimate
+    is within the 2.5% bound of the exact distinct count, and it EQUALS
+    the batch hll_distinct estimate bit-for-bit (same kernel, same
+    data)."""
+    from mgspark.sketches import hll_distinct
+    from mgspark.sketches.hll import HLLSketch
+    from mgspark.streaming import streaming_hll_distinct
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming_hll_distinct(stream, "user_id", p=14, num_shards=8)
+    name = _run_stream_to_memory(out, "hll_stream", "update")
+    # latest state row per shard (update mode re-emits per micro-batch)
+    rows = (
+        spark.table(name)
+        .withColumn("_rn", F.monotonically_increasing_id())
+        .orderBy(F.desc("_rn"))
+        .collect()
+    )
+    latest: dict[int, bytes] = {}
+    for r in rows:
+        latest.setdefault(int(r["shard"]), bytes(r["registers"]))
+    sk = HLLSketch(14)
+    merged = sk.zero()
+    for blob in latest.values():
+        merged = sk.merge(merged, sk.deserialize(blob))
+    est = float(sk.estimate(merged))
+    events = _read(spark, sf_dir, "events")
+    batch_est = float(hll_distinct(events, "user_id"))
+    true = events.select("user_id").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(true),
+                1 if abs(est - true) <= 0.025 * true else 0,
+                1 if est == batch_est else 0,
+            )
+        ],
+        "true_distinct long, within_bound long, matches_batch long",
+    )
+
+
 def q_pcm_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over the binary asset payloads treated
     as unsigned 8-bit PCM (codec-free, REAL): exact integer sample
@@ -1297,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_vs_exact": q_ann_recall_vs_exact,
         "streaming_windowed_event_counts": q_streaming_windowed_event_counts,
         "streaming_mg_event_type": q_streaming_mg_event_type,
+        "streaming_hll_distinct_user_id": q_streaming_hll_distinct_user_id,
         # --- one representative per operator family ---
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
         "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
@@ -1320,7 +1373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling (training-data mixtures)
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
-        "mixture_sample_docs": q_mixture_sample_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         # temporal operators
         "session_stats_events": q_session_stats_events,
@@ -1360,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only; its oracle-checked companion quantile_rank_bounds
         # sits in the window
         "kll_value_quantiles": q_kll_value_quantiles,
+        # stable-green composition of the checked hash_sample path
+        "mixture_sample_docs": q_mixture_sample_docs,
     }
 
 
@@ -1641,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
             "1::BIGINT AS released_le_k, "
             "(SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS tok "
             "FROM documents) WHERE tok <> '')::BIGINT AS total_tokens"
+        ),
+        "streaming_hll_distinct_user_id": (
+            "SELECT COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "
+            "1::BIGINT AS within_bound, 1::BIGINT AS matches_batch FROM events"
         ),
         "hll_vs_exact_user_id": (
             "SELECT COUNT(DISTINCT user_id)::BIGINT AS true_distinct, "

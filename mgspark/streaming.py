@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -36,7 +37,7 @@ from pyspark.sql.types import (
 
 from mgspark.kernel import MGState, mg_build_weighted
 
-__all__ = ["mg_streaming_sketch", "windowed_token_counts", "streaming_dedup_exact", "streaming_session_windows"]
+__all__ = ["mg_streaming_sketch", "streaming_hll_distinct", "windowed_token_counts", "streaming_dedup_exact", "streaming_session_windows"]
 
 STREAM_OUTPUT_SCHEMA = StructType(
     [
@@ -148,6 +149,85 @@ def mg_streaming_sketch(
         update,
         STREAM_OUTPUT_SCHEMA,
         STREAM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("registers", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+    ]
+)
+
+HLL_STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("registers", BinaryType(), True),
+        StructField("n_rows", LongType(), True),
+    ]
+)
+
+
+def streaming_hll_distinct(
+    stream_df: DataFrame,
+    key_col: str,
+    p: int = 14,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Continuously-updated approximate DISTINCT count over a stream: the
+    mergeable HLL kernel as streaming state (``applyInPandasWithState``),
+    the same composition :func:`mg_streaming_sketch` uses for MG.
+
+    Keys hash JVM-side (:func:`~mgspark.aggregate.encode_tokens` rule)
+    and shard by key hash, so shard key sets are DISJOINT and the
+    register-wise max of the emitted shard states is exactly the HLL of
+    the union — read the latest row per shard, merge with
+    ``HLLSketch(p).merge``, estimate.  State per shard is one 2^p-byte
+    register array regardless of stream length; emits one updated
+    (shard, registers, n_rows) row per shard per micro-batch (update
+    mode).  The same replayable-sink checkpoint caveat as
+    :func:`mg_streaming_sketch` applies.
+    """
+    from mgspark.aggregate import encode_tokens
+    from mgspark.sketches.hll import HLLSketch
+
+    HLLSketch(p)  # validate p driver-side, before any executor sees it
+    encoded = encode_tokens(stream_df.select(key_col), key_col, key_col="key")
+    sharded = encoded.select("key").where(F.col("key").isNotNull()).withColumn(
+        "shard", F.pmod(F.col("key"), F.lit(num_shards))
+    )
+
+    def update(
+        shard_key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sk = HLLSketch(p)
+        if state.exists:
+            blob, n_rows = state.get
+            regs = sk.deserialize(bytes(blob))
+            n_rows = int(n_rows)
+        else:
+            regs = sk.zero()
+            n_rows = 0
+        for pdf in batches:
+            regs = sk.build(regs, pdf["key"])
+            n_rows += len(pdf)
+        state.update((sk.serialize(regs), n_rows))
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard_key[0])],
+                "registers": [sk.serialize(regs)],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        HLL_STREAM_OUTPUT_SCHEMA,
+        HLL_STREAM_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -273,3 +273,56 @@ def test_mg_streaming_sketch_resumes_from_checkpoint(spark, tmp_path):
         assert r["d"] <= cap
         for key, est in zip(r["keys"], r["counters"]):
             assert shard_exact.get(int(key), 0) - cap <= est <= shard_exact.get(int(key), 0)
+
+
+def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
+    """The streaming HLL (sharded applyInPandasWithState) must merge to
+    the BIT-IDENTICAL estimate of the batch hll_distinct over the same
+    rows (both are hash-deterministic), across multiple micro-batch
+    files, and land within the 2.5% bound of the exact distinct."""
+    import numpy as np
+    import pandas as pd
+
+    from mgspark.sketches import hll_distinct
+    from mgspark.sketches.hll import HLLSketch
+    from mgspark.streaming import streaming_hll_distinct
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(5)
+    parts = [rng.integers(0, 5000, size=4000).astype("int64") for _ in range(3)]
+    for i, keys in enumerate(parts):
+        pd.DataFrame({"uid": keys}).to_parquet(str(src / f"p{i}.parquet"), index=False)
+    all_keys = np.concatenate(parts)
+
+    stream = spark.readStream.schema("uid long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = streaming_hll_distinct(stream, "uid", p=12, num_shards=4)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM hll_stream_t ORDER BY n_rows").collect()
+    assert rows
+    latest = {}
+    for r in rows:
+        if r["shard"] not in latest or r["n_rows"] > latest[r["shard"]]["n_rows"]:
+            latest[r["shard"]] = r
+    assert sum(r["n_rows"] for r in latest.values()) == len(all_keys)
+    sk = HLLSketch(12)
+    merged = sk.zero()
+    for r in latest.values():
+        merged = sk.merge(merged, sk.deserialize(bytes(r["registers"])))
+    est = float(sk.estimate(merged))
+    batch_df = spark.createDataFrame([(int(x),) for x in all_keys], "uid long")
+    batch_est = float(hll_distinct(batch_df, "uid", p=12))
+    true = len(set(all_keys.tolist()))
+    assert est == batch_est, (est, batch_est)
+    assert abs(est - true) <= 0.025 * true, (est, true)
