@@ -130,6 +130,13 @@ class LSHIndex:
         """The query's bucket plus buckets within ``multiprobe`` sign
         flips (0, 1, or 2 supported)."""
         q = np.asarray(query, dtype=np.float64)
+        if self.planes.size == 0:
+            return [0]  # empty-corpus index: any bucket; `indexed` is empty
+        if self.planes.shape[1] != len(q):
+            raise ValueError(
+                f"query dimension {len(q)} != index dimension "
+                f"{self.planes.shape[1]}"
+            )
         signs = (self.planes @ q) > 0
         n_planes = len(self.planes)
         base = 0
@@ -272,6 +279,8 @@ def ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample_rows:
+        return np.zeros((0, 0))  # empty corpus: no centroids, probes() -> []
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -335,6 +344,8 @@ class IVFIndex:
 
     def probes(self, query: Sequence[float], n_probe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
+        if self.centroids.size == 0:
+            return []  # empty-corpus index: nothing to probe
         q = q / max(np.linalg.norm(q), 1e-12)
         return np.argsort(-(self.centroids @ q))[:n_probe].tolist()
 

@@ -647,3 +647,26 @@ def test_cli_spark_pure_dp_missing_universe_is_diagnostic():
         spark_sketch(["mgspark", "spark", "10", "1.0", "0", "data.parquet", "tok"])
     with _pytest.raises(ValueError, match="column"):
         spark_sketch(["mgspark", "spark", "10", "1.0", "0.001", "data.parquet"])
+
+
+def test_ann_indexes_empty_corpus_and_dim_mismatch(spark):
+    """Empty-corpus LSH/IVF indexes answer queries with zero rows
+    instead of a numpy matmul shape error; a real index rejects a
+    wrong-dimension query with a clear ValueError."""
+    import pytest as _pytest
+
+    import mgspark.pipeline.similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    lidx = sim.lsh_build(empty, "embedding", "vec_id", n_planes=4)
+    assert lidx.topk([0.1] * 8, 3).count() == 0
+    iidx = sim.ivf_build(empty, "embedding", "vec_id", n_centroids=4)
+    assert iidx.topk([0.1] * 8, 3).count() == 0
+    assert sim.ann_lsh_topk(empty, "embedding", "vec_id", [0.1] * 8, 3).count() == 0
+    assert sim.ann_ivf_topk(empty, "embedding", "vec_id", [0.1] * 8, 3).count() == 0
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = sim.lsh_build(emb, "embedding", "vec_id", n_planes=4)
+    with _pytest.raises(ValueError, match="dimension"):
+        idx.topk([0.1] * 8, 3)
+    sim.clear_index_cache()
