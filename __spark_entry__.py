@@ -739,16 +739,16 @@ def q_streaming_hll_distinct_user_id(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = streaming_hll_distinct(stream, "user_id", p=14, num_shards=8)
     name = _run_stream_to_memory(out, "hll_stream", "update")
-    # latest state row per shard (update mode re-emits per micro-batch)
-    rows = (
-        spark.table(name)
-        .withColumn("_rn", F.monotonically_increasing_id())
-        .orderBy(F.desc("_rn"))
-        .collect()
-    )
+    # latest state row per shard (update mode re-emits per micro-batch;
+    # n_rows is nondecreasing per shard, so max n_rows = most recent —
+    # no reliance on the memory sink's row order)
     latest: dict[int, bytes] = {}
-    for r in rows:
-        latest.setdefault(int(r["shard"]), bytes(r["registers"]))
+    best_n: dict[int, int] = {}
+    for r in spark.table(name).collect():
+        shard = int(r["shard"])
+        if shard not in best_n or int(r["n_rows"]) > best_n[shard]:
+            best_n[shard] = int(r["n_rows"])
+            latest[shard] = bytes(r["registers"])
     sk = HLLSketch(14)
     merged = sk.zero()
     for blob in latest.values():

@@ -189,20 +189,31 @@ def dictionary_encode(
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
 
-    tmp_key = "_dict_key"
-    while tmp_key in df.columns:
-        tmp_key += "_"
+    tmp_key = _fresh_col(df, "_dict_key")
     dict_schema = _ST(
         [_SF(col, df.schema[col].dataType, True), _SF(tmp_key, LongType(), False)]
     )
     dict_df = spark.createDataFrame(
         [(value, i) for i, value in enumerate(values)], dict_schema
     )
-    encoded = df.join(F.broadcast(dict_df), col, "inner")
+    encoded = _claim_key_col(df.join(F.broadcast(dict_df), col, "inner"), tmp_key)
+    return encoded, {i: value for i, value in enumerate(values)}, len(values)
+
+
+def _fresh_col(df: DataFrame, base: str) -> str:
+    """A column name not present in ``df``."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
+def _claim_key_col(encoded: DataFrame, tmp_key: str) -> DataFrame:
+    """Rename the dictionary id ``tmp_key`` to 'key', dropping any
+    pre-existing 'key' column so the result is never ambiguous."""
     if "key" in encoded.columns and tmp_key != "key":
         encoded = encoded.drop("key")
-    encoded = encoded.withColumnRenamed(tmp_key, "key")
-    return encoded, {i: value for i, value in enumerate(values)}, len(values)
+    return encoded.withColumnRenamed(tmp_key, "key")
 
 
 def dictionary_encode_distributed(
@@ -255,15 +266,10 @@ def dictionary_encode_distributed(
     for pid, n in counts:
         offsets[pid] = total
         total += n
-    tmp_key = "_dict_key"
-    while tmp_key in df.columns:
-        tmp_key += "_"
+    tmp_key = _fresh_col(df, "_dict_key")
     if not counts:
         empty_dict = distinct.withColumn(tmp_key, F.lit(0).cast("long")).limit(0)
-        encoded = df.join(empty_dict, col, "inner")
-        if "key" in encoded.columns and tmp_key != "key":
-            encoded = encoded.drop("key")
-        encoded = encoded.withColumnRenamed(tmp_key, "key")
+        encoded = _claim_key_col(df.join(empty_dict, col, "inner"), tmp_key)
         return encoded, _dict_public(empty_dict, col, tmp_key), 0
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
@@ -272,10 +278,7 @@ def dictionary_encode_distributed(
         ranked.join(F.broadcast(off_df), "_pid")
         .select(col, (F.col("_off") + F.col("_lid")).cast("long").alias(tmp_key))
     )
-    encoded = df.join(dict_int, col, "inner")
-    if "key" in encoded.columns and tmp_key != "key":
-        encoded = encoded.drop("key")
-    encoded = encoded.withColumnRenamed(tmp_key, "key")
+    encoded = _claim_key_col(df.join(dict_int, col, "inner"), tmp_key)
     return encoded, _dict_public(dict_int, col, tmp_key), total
 
 

@@ -206,7 +206,9 @@ def spark_sketch(argv: list[str]) -> None:
         try:
             encoded, inverse, dict_size = dictionary_encode(df, column)
             decode = lambda key: inverse.get(key, f"u{key}")  # noqa: E731
-        except ValueError:
+        except ValueError as ex:
+            if "distinct values" not in str(ex):
+                raise  # only the over-cap signal reroutes; real errors surface
             encoded, decode_dict_df, dict_size = dictionary_encode_distributed(
                 df, column
             )

@@ -558,13 +558,11 @@ def simhash_near_pairs(
                 blk = max(1, 8_000_000 // m)
                 for i0 in range(0, m - 1, blk):
                     i1 = min(i0 + blk, m - 1)
+                    # rows is never empty: i0 < m-1 and i1 > i0, and each
+                    # row i contributes m-1-i >= 1 slots
                     rows = np.arange(i0, i1)
                     ii = np.repeat(rows, m - 1 - rows)
-                    jj = np.concatenate(
-                        [np.arange(i + 1, m) for i in rows]
-                    ) if len(rows) else np.empty(0, dtype=np.int64)
-                    if not len(ii):
-                        continue
+                    jj = np.concatenate([np.arange(i + 1, m) for i in rows])
                     ham = _popcount64(shs[ii] ^ shs[jj])
                     keep = ham <= ham_cap
                     if keep.any():

@@ -509,7 +509,10 @@ def test_spark_cli_pure_dp_million_distinct_distributed_universe(
     from mgspark.cli import spark_sketch
 
     def over_cap(*a, **k):
-        raise ValueError("poisoned: driver-side dictionary forbidden in this test")
+        raise ValueError(
+            "poisoned: too many distinct values — driver-side dictionary "
+            "forbidden in this test"
+        )
 
     monkeypatch.setattr(agg, "dictionary_encode", over_cap)
 
