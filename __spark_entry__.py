@@ -345,6 +345,75 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line fractions + most
+    frequent bigram).  The contract projects the exact integer
+    numerators/denominators plus the argmax gram — float fractions stay
+    out of the hash (Spark HALF_UP vs DuckDB half-even ROUND ties)."""
+    from mgspark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=2
+    ).select(
+        "id",
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        "line_chars",
+        "text_chars",
+        "top_ngram",
+        "top_ngram_count",
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents enriched with deterministic
+    synthetic PII (the corpus itself contains none): per-doc email, IP
+    and account number derived from doc_id, so every row exercises all
+    three patterns and the redacted strings hash-compare exactly."""
+    from mgspark.pipeline.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' u', CAST(doc_id AS STRING), '@ex.com ip 10.0.0.', "
+        "CAST(doc_id % 256 AS STRING), ' acct ', "
+        "CAST(1000000 + doc_id AS STRING)) AS text",
+    )
+    return redact_pii(docs, "text", "doc_id")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GPT-style sequence packing: seeded-hash shard,
+    running token offset in id order, chunk span — all exact integers,
+    bit-identical at any parallelism (the layout IS the reproducibility
+    contract for a training run)."""
+    from mgspark.pipeline.packing import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        budget=256,
+        n_shards=8,
+        seed=5,
+    )
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing summary (ceil sequence count + floored
+    basis-point fill) — integer columns only in the contract."""
+    from mgspark.pipeline.packing import packing_stats
+
+    return packing_stats(
+        _read(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        budget=256,
+        n_shards=8,
+        seed=5,
+    ).select("shard", "n_docs", "total_tokens", "n_sequences", "fill_bp")
+
+
 def _lang_id_oracle(source: str = "documents") -> str:
     """DuckDB equivalent of the stopword/CJK heuristic — lang_id is pure
     column expressions, so the oracle replicates it list-function by
@@ -1333,6 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     invariant companion is in the window) rotate to the tail."""
     return {
         # --- never driver-checked before r4 / newest first ---
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
         "hll_grouped_event_type": q_hll_grouped_event_type,
         "tdigest_grouped_price_by_flag": q_tdigest_grouped_price_by_flag,
         "streaming_dedup_exact_count": q_streaming_dedup_exact_count,
@@ -1369,9 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
-        "curate_neardup_invariant": q_curate_neardup_invariant,
         # deterministic sampling (training-data mixtures)
-        "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         # temporal operators
@@ -1385,15 +1456,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
         # multimodal (binary asset columns)
-        "asset_meta": q_asset_meta,
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
-        "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "pcm_waveform_stats": q_pcm_waveform_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         # --------- position 51+: long-stable redundant variants ---------
         # (still registered + benched; their oracle-checked siblings or
         # invariant companions above carry the correctness signal)
+        # r3-green rows rotated out in favor of the four r4 operators;
+        # families stay represented in-window (decode covers BMP parse,
+        # curate_documents covers curation, stratified/weighted cover
+        # the sampling hash):
+        "asset_meta": q_asset_meta,
+        "resize_image_pixel_stats": q_resize_image_pixel_stats,
+        "curate_neardup_invariant": q_curate_neardup_invariant,
+        "hash_sample_docs": q_hash_sample_docs,
         "mg_topk_returnflag": _mg_topk_query("lineitem", "l_returnflag", 10),
         "mg_topk_orderpriority": _mg_topk_query("orders", "o_orderpriority", 10),
         "mg_topk_mktsegment": _mg_topk_query("customer", "c_mktsegment", 10),
@@ -1561,6 +1638,81 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
         "bpe_token_stats": _bpe_oracle(),
+        "repetition_stats": (
+            "WITH base AS (SELECT doc_id AS id, coalesce(text, '') AS t "
+            "FROM documents), "
+            "l AS (SELECT id, unnest(string_split(t, chr(10))) AS line FROM base), "
+            "lc AS (SELECT id, line, COUNT(*) AS cnt FROM l "
+            "WHERE trim(line) <> '' GROUP BY 1, 2), "
+            "lstats AS (SELECT id, SUM(cnt)::BIGINT AS n_lines, "
+            "SUM(cnt - 1)::BIGINT AS n_dup_lines, "
+            "SUM((cnt - 1) * length(line))::BIGINT AS dup_line_chars, "
+            "SUM(cnt * length(line))::BIGINT AS line_chars FROM lc GROUP BY id), "
+            "toks AS (SELECT id, list_filter(string_split(t, ' '), x -> x <> '') AS tk "
+            "FROM base), "
+            "grams AS (SELECT id, unnest(list_transform("
+            "CASE WHEN len(tk) >= 2 THEN range(1, len(tk)) ELSE [] END, "
+            "i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM toks), "
+            "gc AS (SELECT id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2), "
+            "gtop AS (SELECT id, gram, cnt, ROW_NUMBER() OVER "
+            "(PARTITION BY id ORDER BY cnt DESC, gram ASC) AS rk FROM gc) "
+            "SELECT b.id, COALESCE(s.n_lines, 0)::BIGINT AS n_lines, "
+            "COALESCE(s.n_dup_lines, 0)::BIGINT AS n_dup_lines, "
+            "COALESCE(s.dup_line_chars, 0)::BIGINT AS dup_line_chars, "
+            "COALESCE(s.line_chars, 0)::BIGINT AS line_chars, "
+            "length(b.t)::BIGINT AS text_chars, "
+            "COALESCE(g.gram, '') AS top_ngram, "
+            "COALESCE(g.cnt, 0)::BIGINT AS top_ngram_count "
+            "FROM base b LEFT JOIN lstats s ON b.id = s.id "
+            "LEFT JOIN (SELECT * FROM gtop WHERE rk = 1) g ON b.id = g.id"
+        ),
+        "redact_pii": (
+            # same Java/RE2-portable patterns as textstats.redact_pii
+            # (explicit classes, no lookaround, no \d) over the same
+            # synthetic-PII enrichment as q_redact_pii
+            "WITH base AS (SELECT doc_id AS id, "
+            "coalesce(text, '') || ' u' || CAST(doc_id AS VARCHAR) || "
+            "'@ex.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+            "' acct ' || CAST(1000000 + doc_id AS VARCHAR) AS t0 FROM documents), "
+            "s1 AS (SELECT id, "
+            "len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails, "
+            "regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+            "FROM base), "
+            "s2 AS (SELECT id, n_emails, "
+            "len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))::BIGINT AS n_ips, "
+            "regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2 "
+            "FROM s1) "
+            "SELECT id, regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS redacted, "
+            "n_emails, n_ips, "
+            "len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT AS n_longnums FROM s2"
+        ),
+        "pack_sequences": (
+            "WITH base AS (SELECT doc_id AS id, "
+            "((doc_id + 5) * 2654435761) % 4294967296 % 8 AS shard, "
+            "len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "w AS (SELECT id, shard::BIGINT AS shard, n_tokens::BIGINT AS n_tokens, "
+            "COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start "
+            "FROM base) "
+            "SELECT id, shard, n_tokens, tok_start, "
+            "(tok_start // 256)::BIGINT AS seq_first, "
+            "(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 256 "
+            "ELSE tok_start // 256 END)::BIGINT AS seq_last FROM w"
+        ),
+        "packing_stats": (
+            "WITH base AS (SELECT doc_id AS id, "
+            "((doc_id + 5) * 2654435761) % 4294967296 % 8 AS shard, "
+            "len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "agg AS (SELECT shard::BIGINT AS shard, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(n_tokens)::BIGINT AS total_tokens FROM base GROUP BY 1) "
+            "SELECT shard, n_docs, total_tokens, "
+            "((total_tokens + 255) // 256)::BIGINT AS n_sequences, "
+            "(CASE WHEN total_tokens > 0 THEN "
+            "(total_tokens * 10000) // (((total_tokens + 255) // 256) * 256) "
+            "ELSE 0 END)::BIGINT AS fill_bp FROM agg"
+        ),
         "tfidf_top_terms": (
             "WITH terms AS (SELECT doc_id, "
             "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "

@@ -172,6 +172,10 @@ HEADLINE_QUERIES = [
     "session_stats_events",
     "asof_join_orders",
     "rolling_event_features",
+    "repetition_stats",
+    "redact_pii",
+    "pack_sequences",
+    "packing_stats",
 ]
 
 

@@ -1,5 +1,5 @@
 """Text analysis operators: token counting, quality scoring, language ID,
-document fingerprinting.
+document fingerprinting, Gopher-style repetition stats, PII redaction.
 
 Everything — including the stopword/CJK language-ID heuristic — is pure
 JVM column expressions (whole-stage codegen, SQL-oracle-able); the
@@ -29,6 +29,11 @@ __all__ = [
     "lang_pred_expr",
     "fingerprint",
     "tfidf_top_terms",
+    "repetition_stats",
+    "redact_pii",
+    "EMAIL_PATTERN",
+    "IPV4_PATTERN",
+    "LONGNUM_PATTERN",
 ]
 
 
@@ -212,6 +217,183 @@ def tfidf_top_terms(
             F.col("doc_freq").cast("long").alias("doc_freq"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1): per
+    document, the fraction of duplicate lines, the fraction of characters
+    inside duplicate line instances, and the most frequent word ``n``-gram
+    with its character fraction.  Columns: (id, n_lines, n_dup_lines,
+    dup_line_chars, line_chars, text_chars, dup_line_frac,
+    dup_line_char_frac, top_ngram, top_ngram_count, top_ngram_char_frac).
+    The integer columns are the exact numerators/denominators of the
+    fractions — cross-engine comparisons should use those (ROUND on a
+    dyadic-rational tie differs between Spark HALF_UP and IEEE
+    half-even engines).  Ids must be unique per row.
+
+    Line stats are pure JVM array expressions, zero shuffle: sort the
+    non-blank lines, detect duplicates by comparing each element to its
+    predecessor via a null-shifted ``zip_with`` (O(L log L) per row; any
+    consistent sort groups equals, so engine sort-order differences cannot
+    change the counts).  N-gram stats are explode -> two combiner-friendly
+    aggregations: ``groupBy(id, gram).count`` then a per-id argmax via
+    ``min(struct(-count, gram))`` (count desc, gram asc tie-break) — no
+    window, no per-row quadratic scan, so a pathological document with
+    millions of repeated grams costs one combiner row, not O(grams^2).
+    The two branches join on id (both sides are one row per document).
+
+    Documents with fewer than ``n`` tokens release count 0 and an empty
+    top gram; documents with no non-blank lines release zero fractions.
+    """
+    if n < 2:
+        raise ValueError(f"repetition_stats requires n >= 2, got {n}")
+    did = F.col(id_col).cast("long").alias("id")
+
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: F.trim(x) != "",
+    )
+    slines = F.array_sort(lines)
+    # [null, s1, ..., s_{L-1}]: each element paired with its predecessor.
+    shifted = F.slice(
+        F.concat(F.array(F.lit(None).cast("string")), slines),
+        1,
+        F.greatest(F.size(slines), F.lit(1)),
+    )
+    dup_flags = F.zip_with(
+        slines,
+        shifted,
+        lambda cur, prev: F.when(prev.isNotNull() & (cur == prev), F.length(cur))
+        .otherwise(F.lit(-1)),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_dup = F.aggregate(
+        dup_flags,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x >= 0, 1).otherwise(0),
+    )
+    dup_chars = F.aggregate(
+        dup_flags,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x >= 0, x).otherwise(0),
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    line_side = df.select(
+        did,
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        dup_chars.alias("dup_line_chars"),
+        line_chars.alias("line_chars"),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("text_chars"),
+        F.round(
+            F.when(n_lines > 0, n_dup / n_lines).otherwise(F.lit(0.0)), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars > 0, dup_chars / line_chars).otherwise(F.lit(0.0)), 4
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+    )
+    # ANSI-safe: sequence(1, 0) would count DOWN, so gate on size >= n.
+    positions = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        positions,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    exploded = df.select(
+        did,
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "_nc"
+        ),
+        F.explode(grams).alias("gram"),
+    )
+    counts = exploded.groupBy("id", "gram").agg(
+        F.count("*").alias("cnt"), F.first("_nc").alias("_nc")
+    )
+    top = counts.groupBy("id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("t"),
+        F.first("_nc").alias("_nc"),
+    )
+    gram_side = top.select(
+        "id",
+        F.col("t.gram").alias("top_ngram"),
+        (-F.col("t.nc")).cast("long").alias("top_ngram_count"),
+        F.round(
+            F.when(
+                F.col("_nc") > 0,
+                (-F.col("t.nc")) * F.length("t.gram") / F.col("_nc"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_ngram_char_frac"),
+    )
+    return line_side.join(gram_side, "id", "left").select(
+        "id",
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        "line_chars",
+        "text_chars",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+        F.coalesce("top_ngram_count", F.lit(0)).cast("long").alias(
+            "top_ngram_count"
+        ),
+        F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# no lookaround, no \d / \s shorthand (engines disagree on Unicode
+# classes), explicit character classes only — identical matches in both.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+LONGNUM_PATTERN = "[0-9]{7,}"
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact common PII shapes for training-data curation: emails ->
+    ``<EMAIL>``, IPv4 literals -> ``<IP>``, 7+-digit runs (phone/account
+    numbers) -> ``<NUM>``.  Columns: (id, redacted, n_emails, n_ips,
+    n_longnums).
+
+    Applied in that order so each later pattern sees the earlier
+    redactions (an IP inside an email is counted once, as the email; the
+    digit-run pass cannot re-match digits inside a redacted IP).  Counts
+    are taken on the same intermediate the replacement runs on, so
+    ``n_*`` is exactly the number of substitutions made.  One JVM
+    projection — ``regexp_replace``/``regexp_count`` column expressions,
+    no Python, no shuffle — so the operator is a zero-shuffle map at any
+    scale and SQL-oracle-able.
+    """
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.regexp_count(t0, F.lit(EMAIL_PATTERN))
+    t1 = F.regexp_replace(t0, EMAIL_PATTERN, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(IPV4_PATTERN))
+    t2 = F.regexp_replace(t1, IPV4_PATTERN, "<IP>")
+    n_nums = F.regexp_count(t2, F.lit(LONGNUM_PATTERN))
+    t3 = F.regexp_replace(t2, LONGNUM_PATTERN, "<NUM>")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        t3.alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_nums.cast("long").alias("n_longnums"),
     )
 
 

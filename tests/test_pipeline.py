@@ -1200,3 +1200,148 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         df.withColumn("w", F.col("w") * 10 - 2), "id", "w"
     )
     assert clamped.where("w <= 0").count() == 0
+
+
+def test_repetition_stats_truth(spark):
+    """Gopher repetition stats on a hand-checkable corpus: duplicate
+    lines counted as extra instances, top bigram argmax with count-desc
+    gram-asc tie-break, short/empty/null docs degrade to zeros."""
+    from mgspark.pipeline.textstats import repetition_stats
+
+    rows = [
+        (0, "x y x y x z"),          # bigrams: "x y":2 "y x":2 "x z":1
+        (1, "dup\ndup\ndup\nuniq"),  # 4 lines, 2 dup instances
+        (2, ""),
+        (3, None),
+        (4, "a\n\n  \na"),           # blank/whitespace lines dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+
+    r0 = got[0]
+    assert (r0["n_lines"], r0["n_dup_lines"]) == (1, 0)
+    # tie at count 2 between "x y" and "y x" -> lexicographically first
+    assert (r0["top_ngram"], r0["top_ngram_count"]) == ("x y", 2)
+    assert r0["text_chars"] == len("x y x y x z")
+    assert r0["top_ngram_char_frac"] == round(2 * 3 / 11, 4)
+
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_dup_lines"]) == (4, 2)
+    assert r1["dup_line_chars"] == 6 and r1["line_chars"] == 13
+    assert r1["dup_line_frac"] == 0.5
+    assert r1["dup_line_char_frac"] == round(6 / 13, 4)
+    # the only token contains newlines; size 1 < 2 -> empty top gram
+    assert (r1["top_ngram"], r1["top_ngram_count"]) == ("", 0)
+
+    for i in (2, 3):
+        r = got[i]
+        assert (r["n_lines"], r["n_dup_lines"], r["top_ngram_count"]) == (0, 0, 0)
+        assert (r["dup_line_frac"], r["top_ngram"]) == (0.0, "")
+
+    r4 = got[4]
+    assert (r4["n_lines"], r4["n_dup_lines"], r4["dup_line_chars"]) == (2, 1, 1)
+
+
+def test_repetition_stats_ngram_order_and_validation(spark):
+    """n=3 trigrams; n < 2 rejected."""
+    import pytest as _pytest
+
+    from mgspark.pipeline.textstats import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c a b c a b")], "doc_id long, text string")
+    r = repetition_stats(df, "text", "doc_id", n=3).collect()[0]
+    # trigrams: "a b c":2, "b c a":2, "c a b":2 -> lexicographic first
+    assert (r["top_ngram"], r["top_ngram_count"]) == ("a b c", 2)
+    with _pytest.raises(ValueError):
+        repetition_stats(df, "text", "doc_id", n=1)
+
+
+def test_redact_pii_truth(spark):
+    """Emails, IPv4s, long digit runs redacted in order; counts equal
+    substitutions; earlier redactions shield later patterns."""
+    from mgspark.pipeline.textstats import redact_pii
+
+    rows = [
+        (0, "mail bob@example.com or 10.0.0.1 acct 12345678"),
+        (1, "x 1.2.3.4@foo.com y"),       # IP-shaped local part -> email
+        (2, "ip 9.8.7.6 short 123456"),   # 6 digits: not a long num
+        (3, None),
+        (4, "nums 1234567 and 999999999999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in redact_pii(df, "text", "doc_id").collect()}
+
+    assert got[0]["redacted"] == "mail <EMAIL> or <IP> acct <NUM>"
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_longnums"]) == (1, 1, 1)
+    # the whole 1.2.3.4@foo.com is one email; no IP left afterwards
+    assert got[1]["redacted"] == "x <EMAIL> y"
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (1, 0)
+    assert got[2]["redacted"] == "ip <IP> short 123456"
+    assert (got[2]["n_ips"], got[2]["n_longnums"]) == (1, 0)
+    assert got[3]["redacted"] == "" and got[3]["n_emails"] == 0
+    assert got[4]["redacted"] == "nums <NUM> and <NUM>"
+    assert got[4]["n_longnums"] == 2
+
+
+def test_pack_sequences_truth(spark):
+    """Packing layout on one shard: running offsets in id order, chunk
+    spans, empty docs occupy no tokens."""
+    from mgspark.pipeline.packing import pack_sequences
+
+    rows = [(0, "a b c"), (1, "d e f g h"), (2, ""), (3, "i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in pack_sequences(
+            df, "text", "doc_id", budget=4, n_shards=1
+        ).collect()
+    }
+    assert [got[i]["tok_start"] for i in range(4)] == [0, 3, 8, 8]
+    assert (got[0]["seq_first"], got[0]["seq_last"]) == (0, 0)
+    assert (got[1]["seq_first"], got[1]["seq_last"]) == (0, 1)
+    assert (got[2]["seq_first"], got[2]["seq_last"]) == (2, 2)  # empty doc
+    assert (got[3]["seq_first"], got[3]["seq_last"]) == (2, 2)
+    assert all(r["shard"] == 0 for r in got.values())
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    """Shard assignment and offsets are a pure function of (id, seed):
+    identical output under any input partitioning, and shards match the
+    Knuth hash computed in plain Python."""
+    from mgspark.pipeline.packing import pack_sequences
+
+    rows = [(i, "t " * (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["id"], r["shard"], r["tok_start"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(df, "text", "doc_id", budget=8, n_shards=4, seed=3).collect()
+    )
+    b = sorted(
+        (r["id"], r["shard"], r["tok_start"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(
+            df.repartition(13), "text", "doc_id", budget=8, n_shards=4, seed=3
+        ).collect()
+    )
+    assert a == b
+    for row in a:
+        assert row[1] == ((row[0] + 3) * 2654435761) % (1 << 32) % 4
+
+
+def test_packing_stats_truth(spark):
+    """Per-shard summary: ceil sequences, exact integer fill basis
+    points, float fill_frac consistent."""
+    from mgspark.pipeline.packing import pack_sequences, packing_stats
+
+    rows = [(0, "a b c"), (1, "d e f g h"), (2, ""), (3, "i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = packing_stats(df, "text", "doc_id", budget=4, n_shards=1).collect()[0]
+    assert (r["shard"], r["n_docs"], r["total_tokens"]) == (0, 4, 9)
+    assert r["n_sequences"] == 3  # ceil(9/4)
+    assert r["fill_bp"] == 7500 and r["fill_frac"] == 0.75
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "text", "doc_id", budget=0)
+    with _pytest.raises(ValueError):
+        packing_stats(df, "text", "doc_id", budget=4, n_shards=0)
