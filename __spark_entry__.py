@@ -375,7 +375,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        "concat(text, ' u', CAST(doc_id AS STRING), '@ex.com ip 10.0.0.', "
+        "concat(coalesce(text, ''), ' u', CAST(doc_id AS STRING), '@ex.com ip 10.0.0.', "
         "CAST(doc_id % 256 AS STRING), ' acct ', "
         "CAST(1000000 + doc_id AS STRING)) AS text",
     )

@@ -40,17 +40,29 @@ def _sharded(
         raise ValueError(f"budget must be positive, got {budget}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    n_tokens = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-            lambda t: t != "",
-        )
-    ).cast("long")
+    from mgspark.pipeline.textstats import ws_tokens_expr
+
+    n_tokens = F.size(ws_tokens_expr(text_col, null_as_empty=True)).cast("long")
+    # A NULL id hashes to a NULL shard (sampling's filter-identically
+    # convention), but here it would also get an all-equal NULL sort key
+    # — running offsets within the NULL shard would then depend on
+    # arbitrary tie order, silently breaking the bit-identical-layout
+    # contract.  Reject instead.
+    id_val = F.col(id_col).cast("bigint")
+    shard = F.when(
+        id_val.isNotNull(),
+        F.pmod(sample_hash_expr(id_col, seed), F.lit(n_shards)),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pack_sequences: NULL {id_col} — the packing layout "
+                "requires unique non-null integral ids in [0, 2^31)"
+            )
+        ).cast("bigint")
+    )
     return df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.pmod(sample_hash_expr(id_col, seed), F.lit(n_shards)).cast("long").alias(
-            "shard"
-        ),
+        id_val.alias("id"),
+        shard.cast("long").alias("shard"),
         n_tokens.alias("n_tokens"),
     )
 
@@ -72,6 +84,12 @@ def pack_sequences(
     (inclusive — a document longer than ``budget`` spans several).  An
     empty document occupies no tokens and reports the sequence its
     offset falls in for both bounds.
+
+    Ids must be unique, non-null, non-negative integrals < 2^31 (the
+    shared sampling-hash precondition, `sampling.sample_hash_expr` —
+    larger ids overflow the 64-bit hash product differently per engine);
+    violations raise in-expression rather than mis-packing.  Corpora
+    with >2^31 documents need a widened hash first.
     """
     base = _sharded(df, text_col, id_col, budget, n_shards, seed)
     w = (

@@ -37,13 +37,27 @@ __all__ = [
 ]
 
 
+def ws_tokens_expr(text_col: str, null_as_empty: bool = False):
+    """The canonical whitespace tokenization shared by every operator
+    that counts or enumerates tokens (token_stats, bpe_token_stats,
+    quality_exprs, repetition_stats, sequence packing): split on single
+    spaces, drop empty strings.  Changing it here changes ALL of them —
+    and every DuckDB oracle built on
+    ``list_filter(string_split(text, ' '), x -> x <> '')`` must follow.
+    ``null_as_empty=True`` coalesces NULL text to zero tokens (operators
+    whose arithmetic must stay total, e.g. packing offsets); the default
+    propagates NULL like SQL."""
+    src = F.col(text_col)
+    if null_as_empty:
+        src = F.coalesce(src, F.lit(""))
+    return F.filter(F.split(src, " "), lambda t: t != "")
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, n_tokens, n_chars): whitespace token count + char length."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(
-            "long"
-        ).alias("n_tokens"),
+        F.size(ws_tokens_expr(text_col)).cast("long").alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
 
@@ -67,9 +81,7 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     and RE2 disagree on \\s)."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).cast(
-            "long"
-        ).alias("n_ws_tokens"),
+        F.size(ws_tokens_expr(text_col)).cast("long").alias("n_ws_tokens"),
         F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
@@ -79,7 +91,7 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def quality_exprs(text_col: str) -> dict:
     """The quality feature expressions as named Columns, reusable inside
     larger single-projection pipelines (no forced intermediate select)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = ws_tokens_expr(text_col)
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(text_col).cast("double")
     clean = F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
@@ -191,9 +203,7 @@ def tfidf_top_terms(
     terms = transient_persist(
         df.select(
             F.col(id_col).cast("long").alias("id"),
-            F.explode(
-                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-            ).alias("term"),
+            F.explode(ws_tokens_expr(text_col)).alias("term"),
         )
     )
     terms.count()
@@ -300,9 +310,7 @@ def repetition_stats(
         ).alias("dup_line_char_frac"),
     )
 
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
-    )
+    toks = ws_tokens_expr(text_col, null_as_empty=True)
     # ANSI-safe: sequence(1, 0) would count DOWN, so gate on size >= n.
     positions = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -313,31 +321,18 @@ def repetition_stats(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    exploded = df.select(
-        did,
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
-            "_nc"
-        ),
-        F.explode(grams).alias("gram"),
-    )
-    counts = exploded.groupBy("id", "gram").agg(
-        F.count("*").alias("cnt"), F.first("_nc").alias("_nc")
-    )
+    # No per-doc extras ride the explode: the char denominator already
+    # sits on line_side as text_chars, so the hot (id, gram) shuffle
+    # carries exactly (id, gram) and the fraction is computed post-join.
+    exploded = df.select(did, F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
     top = counts.groupBy("id").agg(
         F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("t"),
-        F.first("_nc").alias("_nc"),
     )
     gram_side = top.select(
         "id",
         F.col("t.gram").alias("top_ngram"),
         (-F.col("t.nc")).cast("long").alias("top_ngram_count"),
-        F.round(
-            F.when(
-                F.col("_nc") > 0,
-                (-F.col("t.nc")) * F.length("t.gram") / F.col("_nc"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("top_ngram_char_frac"),
     )
     return line_side.join(gram_side, "id", "left").select(
         "id",
@@ -352,9 +347,15 @@ def repetition_stats(
         F.coalesce("top_ngram_count", F.lit(0)).cast("long").alias(
             "top_ngram_count"
         ),
-        F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
-            "top_ngram_char_frac"
-        ),
+        F.round(
+            F.when(
+                (F.col("text_chars") > 0) & F.col("top_ngram_count").isNotNull(),
+                F.col("top_ngram_count")
+                * F.length(F.col("top_ngram"))
+                / F.col("text_chars"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_ngram_char_frac"),
     )
 
 

@@ -1345,3 +1345,17 @@ def test_packing_stats_truth(spark):
         pack_sequences(df, "text", "doc_id", budget=0)
     with _pytest.raises(ValueError):
         packing_stats(df, "text", "doc_id", budget=4, n_shards=0)
+
+
+def test_pack_sequences_null_id_raises(spark):
+    """A NULL id would make the packing layout nondeterministic (ties in
+    the NULL shard's sort) — it must raise, not mis-pack."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mgspark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame([(0, "a"), (None, "b")], "doc_id long, text string")
+    with _pytest.raises(Exception) as e:
+        pack_sequences(df, "text", "doc_id", budget=4, n_shards=2).collect()
+    assert "NULL doc_id" in str(e.value)
