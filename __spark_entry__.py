@@ -382,6 +382,43 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs, "text", "doc_id")
 
 
+def _bench_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic eval set for decontamination: a deterministic 2% hash
+    sample of documents (seed 31), re-keyed so ids never collide with
+    the corpus.  Every bench item therefore HAS a contaminated source
+    doc — the overlap report is guaranteed non-trivial."""
+    from mgspark.pipeline.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.02, seed=31).selectExpr(
+        "doc_id + 1000000 AS bench_id", "text"
+    )
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram eval-set overlap report (string-join variant
+    for the exact oracle; the library default joins on xxhash64)."""
+    from mgspark.pipeline.decontam import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_report(
+        docs, _bench_set(spark, sf_dir), n=13, hash_grams=False
+    )
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept corpus after dropping docs sharing any 13-gram with the
+    bench set — runs the scale-default hashed-gram path; the oracle
+    recomputes the kept set with exact string grams (xxhash64 collisions
+    would only over-flag, and none exist at this sf)."""
+    from mgspark.pipeline.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(docs, _bench_set(spark, sf_dir), n=13).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GPT-style sequence packing: seeded-hash shard,
     running token offset in id order, chunk span — all exact integers,
@@ -454,6 +491,35 @@ def _bpe_oracle() -> str:
         "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens, "
         f"len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens "
         "FROM documents"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB list expression for distinct word n-grams over column
+    ``t`` — same tokenization and windowing as
+    textstats.word_ngrams_expr."""
+    joined = " || ' ' || ".join(f"tk[i + {j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"CASE WHEN len(tk) >= {n} THEN range(1, len(tk) - {n - 2}) "
+        "ELSE [] END, "
+        f"i -> {joined}))"
+    )
+
+
+def _decontam_pairs_cte(n: int = 13) -> str:
+    """Shared CTE: bench set (2% hash sample, seed 31, re-keyed) and the
+    exact string-gram overlap pairs at the given n."""
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk "
+        "FROM documents), "
+        f"dg AS (SELECT doc_id, unnest({_grams_sql(n)}) AS gram FROM tok), "
+        "btok AS (SELECT doc_id + 1000000 AS bench_id, tk FROM tok "
+        "WHERE ((doc_id + 31) * 2654435761) % 4294967296 < 85899345), "
+        f"bg AS (SELECT bench_id, unnest({_grams_sql(n)}) AS gram FROM btok), "
+        "pairs AS (SELECT d.doc_id, b.bench_id, COUNT(*)::BIGINT AS n_shared_grams "
+        "FROM dg d JOIN bg b USING (gram) GROUP BY 1, 2) "
     )
 
 
@@ -1404,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked before r4 / newest first ---
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
+        "contamination_report": q_contamination_report,
+        "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "hll_grouped_event_type": q_hll_grouped_event_type,
@@ -1438,8 +1506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
         # deterministic sampling (training-data mixtures)
@@ -1471,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "curate_neardup_invariant": q_curate_neardup_invariant,
         "hash_sample_docs": q_hash_sample_docs,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
         "mg_topk_returnflag": _mg_topk_query("lineitem", "l_returnflag", 10),
         "mg_topk_orderpriority": _mg_topk_query("orders", "o_orderpriority", 10),
         "mg_topk_mktsegment": _mg_topk_query("customer", "c_mktsegment", 10),
@@ -1685,6 +1753,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS redacted, "
             "n_emails, n_ips, "
             "len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT AS n_longnums FROM s2"
+        ),
+        "contamination_report": (
+            _decontam_pairs_cte(13)
+            + "SELECT doc_id, bench_id, n_shared_grams FROM pairs"
+        ),
+        "decontaminate_docs": (
+            _decontam_pairs_cte(13)
+            + "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "ANTI JOIN pairs p ON d.doc_id = p.doc_id"
         ),
         "pack_sequences": (
             "WITH base AS (SELECT doc_id AS id, "

@@ -174,6 +174,8 @@ HEADLINE_QUERIES = [
     "rolling_event_features",
     "repetition_stats",
     "redact_pii",
+    "contamination_report",
+    "decontaminate_docs",
     "pack_sequences",
     "packing_stats",
 ]

@@ -31,6 +31,8 @@ __all__ = [
     "tfidf_top_terms",
     "repetition_stats",
     "redact_pii",
+    "ws_tokens_expr",
+    "word_ngrams_expr",
     "EMAIL_PATTERN",
     "IPV4_PATTERN",
     "LONGNUM_PATTERN",
@@ -51,6 +53,24 @@ def ws_tokens_expr(text_col: str, null_as_empty: bool = False):
     if null_as_empty:
         src = F.coalesce(src, F.lit(""))
     return F.filter(F.split(src, " "), lambda t: t != "")
+
+
+def word_ngrams_expr(text_col: str, n: int):
+    """Array of space-joined word ``n``-grams over the canonical
+    whitespace tokenization (`ws_tokens_expr`, NULL text -> empty).
+    Shared by repetition_stats and decontamination so both sides of a
+    cross-corpus comparison gram identically.  ANSI-safe: ``sequence(1,
+    0)`` would count DOWN, so short documents gate to an empty array."""
+    if n < 1:
+        raise ValueError(f"word_ngrams_expr requires n >= 1, got {n}")
+    toks = ws_tokens_expr(text_col, null_as_empty=True)
+    positions = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        positions,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -310,17 +330,7 @@ def repetition_stats(
         ).alias("dup_line_char_frac"),
     )
 
-    toks = ws_tokens_expr(text_col, null_as_empty=True)
-    # ANSI-safe: sequence(1, 0) would count DOWN, so gate on size >= n.
-    positions = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        positions,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    grams = word_ngrams_expr(text_col, n)
     # No per-doc extras ride the explode: the char denominator already
     # sits on line_side as text_chars, so the hot (id, gram) shuffle
     # carries exactly (id, gram) and the fraction is computed post-join.

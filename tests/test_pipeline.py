@@ -1359,3 +1359,80 @@ def test_pack_sequences_null_id_raises(spark):
     with _pytest.raises(Exception) as e:
         pack_sequences(df, "text", "doc_id", budget=4, n_shards=2).collect()
     assert "NULL doc_id" in str(e.value)
+
+
+def test_contamination_report_truth(spark):
+    """13-gram-style overlap on a hand-built corpus (n=3 for brevity):
+    counts are distinct-gram intersections per (doc, bench) pair; both
+    hash and string join paths agree."""
+    from mgspark.pipeline.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "totally unrelated text with no overlap here"),
+            (2, "quick brown fox quick brown fox"),  # repeated gram: once
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears"), (101, "over the lazy dog")],
+        "bench_id long, text string",
+    )
+    for hg in (True, False):
+        got = {
+            (r["doc_id"], r["bench_id"]): r["n_shared_grams"]
+            for r in contamination_report(
+                docs, bench, n=3, hash_grams=hg
+            ).collect()
+        }
+        # doc0 vs 100: "quick brown fox"; doc0 vs 101: "over the lazy",
+        # "the lazy dog"; doc2 vs 100: "quick brown fox" (distinct once)
+        assert got == {(0, 100): 1, (0, 101): 2, (2, 100): 1}
+
+
+def test_decontaminate_threshold_and_validation(spark):
+    """min_overlap gates removal; kept rows pass through unchanged."""
+    import pytest as _pytest
+
+    from mgspark.pipeline.decontam import contamination_report, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "clean document nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "over the lazy dog indeed")], "bench_id long, text string"
+    )
+    kept1 = decontaminate(docs, bench, n=3, min_overlap=1)
+    assert {r["doc_id"] for r in kept1.collect()} == {1}
+    # doc0 shares exactly 2 trigrams; min_overlap=3 keeps it
+    kept3 = decontaminate(docs, bench, n=3, min_overlap=3)
+    assert {r["doc_id"] for r in kept3.collect()} == {0, 1}
+    assert kept1.columns == docs.columns
+    with _pytest.raises(ValueError):
+        decontaminate(docs, bench, n=3, min_overlap=0)
+    with _pytest.raises(ValueError):
+        contamination_report(docs, bench, n=0)
+    with _pytest.raises(ValueError):
+        contamination_report(docs, bench, id_col="x", bench_id_col="x")
+
+
+def test_contamination_empty_and_null_docs(spark):
+    """Empty/NULL texts and too-short docs produce no gram rows and are
+    never flagged; an empty bench contaminates nothing."""
+    from mgspark.pipeline.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "one two")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "one two three")], "bench_id long, text string"
+    )
+    kept = decontaminate(docs, bench, n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2}
+    empty_bench = bench.filter("bench_id < 0")
+    assert decontaminate(docs, empty_bench, n=1).count() == 3
