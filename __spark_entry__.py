@@ -396,14 +396,14 @@ def _bench_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style 13-gram eval-set overlap report (string-join variant
-    for the exact oracle; the library default joins on xxhash64)."""
+    """GPT-3-style 13-gram eval-set overlap report, on the scale-default
+    xxhash64-gram join; the oracle recomputes the same counts from exact
+    string grams, so the row ALSO proves the hashed path is
+    collision-free at this sf (a collision would inflate a count)."""
     from mgspark.pipeline.decontam import contamination_report
 
     docs = _read(spark, sf_dir, "documents")
-    return contamination_report(
-        docs, _bench_set(spark, sf_dir), n=13, hash_grams=False
-    )
+    return contamination_report(docs, _bench_set(spark, sf_dir), n=13)
 
 
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

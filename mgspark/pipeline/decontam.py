@@ -29,8 +29,22 @@ __all__ = ["contamination_report", "decontaminate"]
 
 
 def _gram_relation(
-    df: DataFrame, text_col: str, id_col: str, n: int, hash_grams: bool
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hash_grams: bool,
+    widen: bool = False,
 ) -> DataFrame:
+    # The corpus side is map-only into a broadcast join — no shuffle
+    # ever widens it, so its parallelism is exactly the input split
+    # count.  A small input (one parquet split) would run the CPU-heavy
+    # gram explosion on one core; widen it to the cluster, gated so a
+    # real at-scale input (splits >= cores) never pays a corpus shuffle.
+    if widen:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     # explode (not explode_outer): gram-less documents contribute no
     # rows, and word_ngrams_expr never emits NULL elements — important
     # because xxhash64 maps NULL to the seed, never to NULL, so a
@@ -72,7 +86,7 @@ def contamination_report(
         )
     if "gram" in (id_col, bench_id_col):
         raise ValueError("'gram' is reserved for the join key column")
-    doc_grams = _gram_relation(docs, text_col, id_col, n, hash_grams)
+    doc_grams = _gram_relation(docs, text_col, id_col, n, hash_grams, widen=True)
     bench_grams = _gram_relation(bench, bench_text_col, bench_id_col, n, hash_grams)
     return (
         doc_grams.withColumnRenamed("_cid", id_col)
