@@ -270,6 +270,154 @@ def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling-corpus split used by the incremental-dedup queries: the same
+# deterministic Knuth hash the sampling oracles already mirror in DuckDB
+# (seed 11; 60% corpus / 40% batch).  A pure function of doc_id, so both
+# engines carve identical snapshots with no materialized state.
+_INC_SEED = 11
+_INC_CUTOFF = int(0.6 * (1 << 32))
+
+
+def _incremental_split(spark: SparkSession, sf_dir: str):
+    from mgspark.pipeline.sampling import sample_hash_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    h = sample_hash_expr("doc_id", _INC_SEED)
+    return docs.where(h < _INC_CUTOFF), docs.where(h >= _INC_CUTOFF)
+
+
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus exact dedup (pipeline/dedup.dedup_incremental):
+    keep batch rows absent from the corpus by content and unique (min
+    id) within the batch — the rolling-ingestion shape.  Fully
+    SQL-expressible, exact DuckDB oracle over the identical hash split."""
+    from mgspark.pipeline.dedup import dedup_incremental
+
+    corpus, batch = _incremental_split(spark, sf_dir)
+    return dedup_incremental(batch, corpus, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR twin of incremental dedup
+    (pipeline/dedup.minhash_incremental_pairs), oracle-checked as
+    distributed invariants: identical text on both sides of the split
+    yields identical signatures, which collide in EVERY band — so the
+    exact cross-side duplicate pairs MUST all be released
+    (deterministic recall 1, not probabilistic), every released pair
+    must point batch->corpus, and every estimate must clear the
+    threshold.  All checks are joins + aggregates; nothing is collected
+    to the driver."""
+    from mgspark.cacheutil import transient_persist
+    from mgspark.pipeline.dedup import minhash_incremental_pairs
+
+    corpus, batch = _incremental_split(spark, sf_dir)
+    pairs = transient_persist(
+        minhash_incremental_pairs(
+            batch, corpus, "text", "doc_id", threshold=0.8, max_bucket=1 << 20
+        )
+    )
+    exact_cross = (
+        batch.select(F.col("text"), F.col("doc_id").alias("batch_id"))
+        .join(corpus.select("text", F.col("doc_id").alias("corpus_id")), "text")
+        .select("batch_id", "corpus_id")
+    )
+    n_exact = exact_cross.agg(F.count("*").alias("n_exact_cross"))
+    missing = exact_cross.join(
+        pairs.select("batch_id", "corpus_id"), ["batch_id", "corpus_id"], "left_anti"
+    ).agg(F.count("*").alias("_miss"))
+    bad_side = (
+        pairs.join(
+            batch.select(F.col("doc_id").alias("batch_id")), "batch_id", "left_anti"
+        )
+        .agg(F.count("*").alias("_bad"))
+        .unionByName(
+            pairs.join(
+                corpus.select(F.col("doc_id").alias("corpus_id")),
+                "corpus_id",
+                "left_anti",
+            ).agg(F.count("*").alias("_bad"))
+        )
+        .agg(F.sum("_bad").alias("_bad_sides"))
+    )
+    below = pairs.where(F.col("est_jaccard") < 0.8).agg(
+        F.count("*").alias("_below")
+    )
+    return (
+        n_exact.crossJoin(missing)
+        .crossJoin(bad_side)
+        .crossJoin(below)
+        .select(
+            F.col("n_exact_cross").cast("long").alias("n_exact_cross"),
+            (F.col("_miss") == 0).cast("long").alias("exact_recall_complete"),
+            (F.col("_bad_sides") == 0).cast("long").alias("pairs_cross_side"),
+            (F.col("_below") == 0).cast("long").alias("estimates_at_threshold"),
+        )
+    )
+
+
+def q_corpus_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (pipeline/profile.corpus_delta) between two
+    overlapping deterministic samples of the documents table: per
+    source, distinct-content counts added / removed / unchanged.  Fully
+    SQL-expressible — DuckDB recomputes both snapshots from the same
+    Knuth hash and diffs them with a null-safe full outer join."""
+    from mgspark.pipeline.profile import corpus_delta
+    from mgspark.pipeline.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    old = hash_sample(docs, "doc_id", 0.7, seed=5)
+    new = hash_sample(docs, "doc_id", 0.7, seed=6)
+    return corpus_delta(old, new, "text", "source")
+
+
+def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (pipeline/similarity.
+    semantic_dedup_pairs: k-means clusters bound the pair space),
+    oracle-checked as distributed invariants on the clustered embedding
+    fixture: released pairs are exactly verified (subset of the exact
+    all-pairs set) AND recall is complete — near-identical vectors
+    always assign to the same nearest centroid, so no planted pair
+    straddles a cluster boundary.  Deterministic: seeded k-means on a
+    hash-ordered sample.  DuckDB recomputes n_exact pairwise and pins
+    the flags; the subset/recall checks run as anti-joins + counts,
+    nothing collected to the driver."""
+    from mgspark.cacheutil import transient_persist
+    from mgspark.pipeline.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(_CLUSTERED_EMB_PARQUET)
+    sem = transient_persist(
+        semantic_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.99, n_clusters=8
+        ).select("id_a", "id_b")
+    )
+    exact = transient_persist(
+        embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.99, method="exact"
+        ).select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    stray = sem.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("_stray")
+    )
+    missing = exact.join(sem, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("_miss")
+    )
+    return (
+        n_exact.crossJoin(stray)
+        .crossJoin(missing)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("_stray") == 0).cast("long").alias("sem_subset_exact"),
+            (F.col("_miss") == 0).cast("long").alias("sem_recall_complete"),
+        )
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -1479,6 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact_count": q_streaming_dedup_exact_count,
         "streaming_session_windows": q_streaming_session_windows,
         "dedup_near_simhash": q_dedup_near_simhash,
+        # rolling-corpus maintenance (new this round)
+        "dedup_incremental_exact": q_dedup_incremental_exact,
+        "minhash_incremental_recall": q_minhash_incremental_recall,
+        "corpus_delta_source": q_corpus_delta_source,
+        "semantic_dedup_recall": q_semantic_dedup_recall,
         # --- dropped out of the r3 window; re-confirm ---
         "cms_returnflag": q_cms_returnflag,
         "mg_user_level_event_type": q_mg_user_level_event_type,
@@ -1502,24 +1655,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups_source": q_exact_dup_groups_source,
         "near_dup_components_exact_graph": q_near_dup_components_exact_graph,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
-        "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
         # deterministic sampling (training-data mixtures)
-        "stratified_sample_docs": q_stratified_sample_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
         "asof_forward_orders": q_asof_forward_orders,
-        "rolling_event_features": q_rolling_event_features,
         # similarity / near-dup (oracle-checked invariant rows)
         "simhash_recall_vs_allpairs": q_simhash_recall_vs_allpairs,
         "minhash_est_vs_true_jaccard": q_minhash_est_vs_true_jaccard,
-        "cosine_topk": q_cosine_topk,
         "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
         # multimodal (binary asset columns)
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
@@ -1529,10 +1678,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --------- position 51+: long-stable redundant variants ---------
         # (still registered + benched; their oracle-checked siblings or
         # invariant companions above carry the correctness signal)
-        # r3-green rows rotated out in favor of the four r4 operators;
+        # r3-green rows rotated out in favor of this round's operators;
         # families stay represented in-window (decode covers BMP parse,
-        # curate_documents covers curation, stratified/weighted cover
-        # the sampling hash):
+        # curate_documents covers curation, weighted_sample covers the
+        # sampling hash, bpe covers token counting, session+asof cover
+        # temporal, the recall invariants cover cosine arithmetic):
+        "token_stats": q_token_stats,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "rolling_event_features": q_rolling_event_features,
+        "cosine_topk": q_cosine_topk,
         "asset_meta": q_asset_meta,
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "curate_neardup_invariant": q_curate_neardup_invariant,
@@ -1647,6 +1801,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
         ),
         "dedup_exact_count": "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+        "dedup_incremental_exact": (
+            # identical Knuth hash split as _incremental_split (seed 11,
+            # 60% corpus); content identity via raw text equality — the
+            # Spark side's sha256 is injective over these inputs
+            f"WITH h AS (SELECT doc_id, text, lang, source, "
+            f"((doc_id + {_INC_SEED}) * 2654435761) % 4294967296 AS hv FROM documents), "
+            f"corpus AS (SELECT * FROM h WHERE hv < {_INC_CUTOFF}), "
+            f"batch AS (SELECT * FROM h WHERE hv >= {_INC_CUTOFF}), "
+            "fresh AS (SELECT b.* FROM batch b WHERE NOT EXISTS "
+            "(SELECT 1 FROM corpus c WHERE c.text = b.text)), "
+            "keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text) "
+            "SELECT f.doc_id, f.lang, f.source FROM fresh f JOIN keep USING (doc_id)"
+        ),
+        "minhash_incremental_recall": (
+            f"WITH h AS (SELECT doc_id, text, "
+            f"((doc_id + {_INC_SEED}) * 2654435761) % 4294967296 AS hv FROM documents) "
+            "SELECT COUNT(*)::BIGINT AS n_exact_cross, "
+            "1::BIGINT AS exact_recall_complete, "
+            "1::BIGINT AS pairs_cross_side, "
+            "1::BIGINT AS estimates_at_threshold "
+            f"FROM h b JOIN h c ON b.text = c.text "
+            f"AND b.hv >= {_INC_CUTOFF} AND c.hv < {_INC_CUTOFF}"
+        ),
+        "corpus_delta_source": (
+            # two overlapping 70% snapshots (seeds 5 and 6), diffed with
+            # a null-safe full outer join on (source, content)
+            f"WITH o AS (SELECT DISTINCT source, text, 1 AS fo FROM documents "
+            f"WHERE ((doc_id + 5) * 2654435761) % 4294967296 < {int(0.7 * (1 << 32))}), "
+            f"n AS (SELECT DISTINCT source, text, 1 AS fn FROM documents "
+            f"WHERE ((doc_id + 6) * 2654435761) % 4294967296 < {int(0.7 * (1 << 32))}), "
+            "j AS (SELECT coalesce(o.source, n.source) AS grp, o.fo, n.fn "
+            "FROM o FULL OUTER JOIN n ON o.source IS NOT DISTINCT FROM n.source "
+            "AND o.text IS NOT DISTINCT FROM n.text) "
+            "SELECT grp AS source, "
+            "SUM(CASE WHEN fo IS NULL THEN 1 ELSE 0 END)::BIGINT AS added, "
+            "SUM(CASE WHEN fn IS NULL THEN 1 ELSE 0 END)::BIGINT AS removed, "
+            "SUM(CASE WHEN fo IS NOT NULL AND fn IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS unchanged "
+            "FROM j GROUP BY grp"
+        ),
         "dedup_near_simhash": (
             "SELECT COUNT(*)::BIGINT AS n_docs, "
             "COUNT(DISTINCT text)::BIGINT AS exact_kept, "
@@ -1697,6 +1890,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_CLUSTERED_EMB_PARQUET}')) "
             "SELECT COUNT(*)::BIGINT AS n_exact, 1::BIGINT AS lsh_subset_exact, "
             "1::BIGINT AS lsh_recall_complete "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
+        ),
+        "semantic_dedup_recall": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{_CLUSTERED_EMB_PARQUET}')) "
+            "SELECT COUNT(*)::BIGINT AS n_exact, 1::BIGINT AS sem_subset_exact, "
+            "1::BIGINT AS sem_recall_complete "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
         ),

@@ -178,6 +178,10 @@ HEADLINE_QUERIES = [
     "decontaminate_docs",
     "pack_sequences",
     "packing_stats",
+    "dedup_incremental_exact",
+    "minhash_incremental_recall",
+    "corpus_delta_source",
+    "semantic_dedup_recall",
 ]
 
 

@@ -35,6 +35,8 @@ from mgspark.sketches.base import splitmix64
 __all__ = [
     "exact_duplicate_groups",
     "dedup_exact",
+    "dedup_incremental",
+    "minhash_incremental_pairs",
     "shingle_relation",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -81,6 +83,115 @@ def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, id_col, "leftsemi")
+
+
+def dedup_incremental(
+    batch: DataFrame, corpus: DataFrame, col: str, id_col: str
+) -> DataFrame:
+    """Incremental exact dedup: keep the ``batch`` rows whose ``col``
+    value is absent from ``corpus`` AND not duplicated within the batch
+    (min id wins, matching :func:`dedup_exact`).
+
+    The batch-vs-history shape every rolling ingestion pipeline runs
+    (e.g. a daily crawl snapshot against the already-deduped corpus):
+    the historical corpus is never rewritten — only its content hashes
+    are read.  At 100 TB the corpus side is projected to a 32-byte
+    hash per row before the exchange (no text moves), the anti-join
+    shuffles hash keys only, and nothing is collected to the driver.
+    No ``distinct()`` on the corpus side: an anti-join tests existence,
+    so pre-deduplicating the right side would add a shuffle for zero
+    semantic gain.
+    """
+    batch_h = batch.select(
+        F.col(id_col), F.sha2(F.col(col), 256).alias("_h")
+    )
+    corpus_h = corpus.select(F.sha2(F.col(col), 256).alias("_h"))
+    keep = (
+        batch_h.join(corpus_h, "_h", "left_anti")
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch.join(keep, id_col, "leftsemi")
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int | None = None,
+    shingle_size: int = 5,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new batch and an existing corpus:
+    (batch_id, corpus_id, est_jaccard >= threshold).
+
+    The incremental twin of :func:`minhash_dedup_pairs`: both sides are
+    signed with the same seeded hash family, banded identically, and
+    candidates come from an equi-join of batch bands against corpus
+    bands — so candidates are exactly the cross-side bucket collisions,
+    with no within-side pair expansion at all (within-batch dedup is a
+    separate, far smaller :func:`minhash_dedup_pairs` run).
+
+    Scale shape: one shingling pass per side (signatures persisted — the
+    banding and the verification join both read them), one exchange on
+    (band, bucket) for the candidate join, and a broadcast anti-join
+    that drops corpus buckets holding more than ``max_bucket`` ids
+    (boilerplate content would otherwise multiply every colliding batch
+    row by the bucket size; the hot-bucket set itself is tiny, so it
+    broadcasts — the same pattern as the hot-gram blacklist in
+    :func:`ngram_jaccard_pairs`).
+    """
+    from mgspark.cacheutil import transient_persist
+
+    if num_bands is None:
+        num_bands = pick_num_bands(num_hashes, threshold)
+    rows_per_band = max(1, num_hashes // num_bands)
+    bsig = transient_persist(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_size)
+    )
+    csig = transient_persist(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
+    )
+    bsig.count()  # materialize before the multi-consumer fan-out
+    csig.count()
+    bands_b = _band_relation(bsig, num_bands, rows_per_band)
+    bands_c = _band_relation(csig, num_bands, rows_per_band)
+    hot = (
+        bands_c.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("band", "bucket")
+    )
+    bands_c = bands_c.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    candidates = (
+        bands_b.select("band", "bucket", F.col("id").alias("batch_id"))
+        .join(
+            bands_c.select("band", "bucket", F.col("id").alias("corpus_id")),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    joined = candidates.join(
+        bsig.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_a")),
+        "batch_id",
+    ).join(
+        csig.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b")),
+        "corpus_id",
+    )
+    est = joined.withColumn(
+        "est_jaccard",
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+            " 0, (acc, v) -> acc + v) / size(sig_a)"
+        ).cast("double"),
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "batch_id", "corpus_id", "est_jaccard"
+    )
 
 
 def _shingle_hashes_batch(texts: pd.Series, size: int) -> list[np.ndarray]:
@@ -199,6 +310,30 @@ def minhash_signatures(
     return projected.mapInPandas(compute, schema)
 
 
+def _band_relation(
+    sig_df: DataFrame, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) — each signature split into ``num_bands``
+    bands, each band xxhash64-ed to a bucket key.  Pure JVM expressions
+    (slice + xxhash64 under whole-stage codegen), no shuffle."""
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, num_bands: int = 32, max_bucket: int = 64,
     sig_len: int | None = None,
@@ -226,22 +361,7 @@ def lsh_candidate_pairs(
         sig_len = sig_len_row["s"]
     rows_per_band = max(1, sig_len // num_bands)
 
-    bands = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for i in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    bands = _band_relation(sig_df, num_bands, rows_per_band)
 
     buckets = (
         bands.groupBy("band", "bucket")

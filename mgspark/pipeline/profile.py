@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "corpus_delta"]
 
 
 def profile_table(
@@ -85,4 +85,67 @@ def profile_table(
         out,
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_str string, max_str string",
+    )
+
+
+def corpus_delta(
+    old: DataFrame, new: DataFrame, col: str, group_col: str
+) -> DataFrame:
+    """Snapshot drift report between two corpus versions: one row per
+    group — (group, added, removed, unchanged) counting DISTINCT
+    ``col`` values (content identity) present only in ``new``, only in
+    ``old``, or in both.
+
+    The monitoring companion of :func:`mgspark.pipeline.dedup.
+    dedup_incremental`: a rolling ingestion pipeline diffs each snapshot
+    against the last to catch source collapses or crawl floods before
+    training.  Scale shape: both sides are projected to
+    (group, sha256) before any exchange — no text moves — then one
+    combiner-friendly distinct per side and a full-outer join on the
+    same (group, hash) key layout, so the join reuses the distinct's
+    partitioning.  Output is group-cardinality-sized.
+    """
+    o = (
+        old.select(
+            F.col(group_col).alias("grp"), F.sha2(F.col(col), 256).alias("_h")
+        )
+        .distinct()
+        .withColumn("_in_old", F.lit(1))
+    )
+    n = (
+        new.select(
+            F.col(group_col).alias("grp"), F.sha2(F.col(col), 256).alias("_h")
+        )
+        .distinct()
+        .withColumn("_in_new", F.lit(1))
+    )
+    # Null-safe join keys: a null group (or null content -> null sha2)
+    # present in both snapshots must count as UNCHANGED; plain equality
+    # would split it into one added and one removed row.  DuckDB's
+    # equivalent is IS NOT DISTINCT FROM.
+    joined = o.join(
+        n,
+        o["grp"].eqNullSafe(n["grp"]) & o["_h"].eqNullSafe(n["_h"]),
+        "full_outer",
+    ).select(
+        F.coalesce(o["grp"], n["grp"]).alias("grp"),
+        o["_in_old"].alias("_in_old"),
+        n["_in_new"].alias("_in_new"),
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("_in_old").isNull(), 1).otherwise(0)
+            ).cast("long").alias("added"),
+            F.sum(
+                F.when(F.col("_in_new").isNull(), 1).otherwise(0)
+            ).cast("long").alias("removed"),
+            F.sum(
+                F.when(
+                    F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("unchanged"),
+        )
+        .select(F.col("grp").alias(group_col), "added", "removed", "unchanged")
     )

@@ -31,6 +31,8 @@ __all__ = [
     "ivf_build",
     "ann_ivf_topk",
     "embedding_near_dup_pairs",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
     "clear_ivf_cache",
     "clear_index_cache",
 ]
@@ -599,3 +601,93 @@ def _ivf_index_cache_get(
         (vec_col, id_col, n_centroids, seed),
         lambda: ivf_build(df, vec_col, id_col, n_centroids=n_centroids, seed=seed),
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    max_cluster: int = 65536,
+    sample_size: int = 4096,
+    iterations: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: (id_a < id_b,
+    cosine >= threshold), with candidates restricted to pairs inside the
+    same k-means coarse cluster.
+
+    The published SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with k-means, then compare pairs only within
+    a cluster — the quadratic is bounded to ~(N/k)^2 per cluster instead
+    of N^2 overall.  Centroid training reuses the IVF machinery
+    (:func:`ivf_centroids`: driver-side Lloyd on a bounded hash-ordered
+    sample, cost independent of table size); assignment is one
+    vectorized ``mapInPandas`` scan.
+
+    Plan shape: one shuffle join to attach the cluster id, one exchange
+    on the cluster key for the within-cluster self-join (AQE handles
+    residual skew), exact cosine verification in JVM higher-order
+    functions.  Clusters larger than ``max_cluster`` are dropped from
+    pairing (degenerate centroids on boilerplate-heavy corpora would
+    otherwise go quadratic) — the oversize check is a k-row aggregate
+    that broadcasts.  Precision is exact (every released pair is
+    verified); recall misses only pairs straddling a cluster boundary,
+    which for near-identical vectors (the dedup regime) requires the
+    pair to sit almost exactly on a centroid bisector.
+    """
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    centroids = ivf_centroids(
+        df, vec_col, n_centroids=n_clusters, sample_size=sample_size,
+        iterations=iterations, seed=seed,
+    )
+    spark = df.sparkSession
+    pair_schema = "id_a bigint, id_b bigint, cosine double"
+    if centroids.size == 0:
+        return spark.createDataFrame([], pair_schema)
+    assigned = ivf_assign(df, vec_col, id_col, centroids)  # (id, centroid)
+    ok = (
+        assigned.groupBy("centroid")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_cluster)
+        .select("centroid")
+    )
+    clustered = (
+        vecs.join(assigned, "id")
+        .join(F.broadcast(ok), "centroid")
+        .select("centroid", "id", "vec")
+    )
+    a = clustered.select(
+        "centroid", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = clustered.select(
+        "centroid", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    pairs = a.join(b, "centroid").where(F.col("id_a") < F.col("id_b"))
+    scored = _pairwise_cosine(pairs)
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    **kwargs,
+) -> DataFrame:
+    """Keep one row per semantic near-duplicate cluster: pairs from
+    :func:`semantic_dedup_pairs`, grouped into components, min id kept
+    (the method-agnostic ``dedup_near`` composition)."""
+    from mgspark.pipeline.dedup import dedup_near
+
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, threshold=threshold, n_clusters=n_clusters, **kwargs
+    )
+    return dedup_near(df, id_col, pairs)
