@@ -254,13 +254,21 @@ def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("text").alias("exact_kept"),
     )
-    kept_n = kept.agg(F.count("*").alias("_kept_n"))
-    stray = kept.join(exact_keep.select("doc_id"), "doc_id", "left_anti").agg(
-        F.count("*").alias("_n_stray")
+    # one pass over kept computes both the size and the stray count
+    # (a left join + conditional sum instead of a separate anti-join
+    # branch that would re-derive kept a second time)
+    kept_stats = kept.join(
+        exact_keep.select("doc_id").withColumn("_in_exact", F.lit(1)),
+        "doc_id",
+        "left",
+    ).agg(
+        F.count("*").alias("_kept_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_in_exact").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("_n_stray"),
     )
     return (
-        totals.crossJoin(kept_n)
-        .crossJoin(stray)
+        totals.crossJoin(kept_stats)
         .select(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("exact_kept").cast("long").alias("exact_kept"),
@@ -318,9 +326,18 @@ def q_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, corpus, "text", "doc_id", threshold=0.8, max_bucket=1 << 20
         )
     )
+    # join on the content hash, not the raw text — the exchange then
+    # carries 32 B/row instead of whole documents
     exact_cross = (
-        batch.select(F.col("text"), F.col("doc_id").alias("batch_id"))
-        .join(corpus.select("text", F.col("doc_id").alias("corpus_id")), "text")
+        batch.select(
+            F.sha2("text", 256).alias("_h"), F.col("doc_id").alias("batch_id")
+        )
+        .join(
+            corpus.select(
+                F.sha2("text", 256).alias("_h"), F.col("doc_id").alias("corpus_id")
+            ),
+            "_h",
+        )
         .select("batch_id", "corpus_id")
     )
     n_exact = exact_cross.agg(F.count("*").alias("n_exact_cross"))

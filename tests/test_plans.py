@@ -258,3 +258,78 @@ def test_lsh_index_topk_reads_cached_index_only(docs):
         assert "bucket" in full and "IN (" in full, full
     finally:
         idx.indexed.unpersist()
+
+
+def test_dedup_incremental_corpus_scan_prunes_to_content(docs):
+    """The corpus side of incremental dedup must read ONLY the content
+    column before hashing — at 100 TB the history is never re-shipped;
+    only 32-byte hashes cross the exchange.  A corpus scan that reads
+    all columns means the projection was lost."""
+    from mgspark.pipeline.dedup import dedup_incremental
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    plan = _formatted(
+        dedup_incremental(batch, corpus, "text", "doc_id").select(
+            "doc_id", "lang", "source"
+        )
+    )
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # the two hash branches read (doc_id, text) only; the output branch
+    # prunes text entirely — no scan reads all four columns
+    assert any("struct<doc_id:bigint,text:string>" in l for l in schemas), schemas
+    assert not any(
+        "text" in l and "lang" in l for l in schemas
+    ), schemas
+    # nothing in this plan may fall back to a nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_hot_bucket_cap_is_broadcast_anti_join(docs):
+    """The corpus hot-bucket blacklist must broadcast (it is tiny — only
+    buckets with > max_bucket members) into an anti-join over the corpus
+    band relation; a sort-merge anti-join would shuffle every corpus
+    band row just to drop boilerplate."""
+    from mgspark.pipeline.dedup import minhash_incremental_pairs
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    tree = _formatted(
+        minhash_incremental_pairs(batch, corpus, "text", "doc_id", threshold=0.8)
+    ).split("\n\n")[0]
+    anti = [l for l in tree.splitlines() if "Join LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+    assert "SortMergeJoin LeftAnti" not in tree
+
+
+def test_semantic_dedup_cluster_size_filter_is_broadcast(docs, spark, sf_dir):
+    """The oversized-cluster filter in semantic dedup is a k-row
+    aggregate; attaching it to the vector table must be a broadcast
+    join, never a shuffle of the vectors for a k-row filter."""
+    from mgspark.pipeline.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = _formatted(
+        semantic_dedup_pairs(emb, "embedding", "vec_id", threshold=0.9, n_clusters=4)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_delta_is_single_equi_full_outer(docs):
+    """The snapshot diff must execute as ONE equi full-outer join on the
+    (group, hash) keys — null-safe equality has to stay a hash-joinable
+    key, not degrade to a nested-loop condition."""
+    from mgspark.pipeline.profile import corpus_delta
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    plan = _formatted(corpus_delta(old, new, "text", "source"))
+    tree = plan.split("\n\n")[0]
+    outer = [l for l in tree.splitlines() if "Join FullOuter" in l]
+    assert len(outer) == 1, outer
+    assert "NestedLoop" not in outer[0] and "Cartesian" not in outer[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
