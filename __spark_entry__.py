@@ -1017,6 +1017,31 @@ def q_streaming_dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).agg(F.count("*").cast("long").alias("kept"))
 
 
+def q_streaming_dedup_incremental_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: the documents stream (filtered to
+    the batch half of the Knuth-hash split) anti-joined per micro-batch
+    against the STATIC corpus half, then first-arrival dedup on the
+    content hash.  The kept count must equal the batch-mode
+    dedup_incremental cardinality — DuckDB recomputes it from the same
+    split."""
+    from mgspark.pipeline.sampling import sample_hash_expr
+    from mgspark.streaming import streaming_dedup_incremental
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    h = sample_hash_expr("doc_id", _INC_SEED)
+    stream_batch = stream.where(h >= _INC_CUTOFF).select("doc_id", "text")
+    corpus = _read(spark, sf_dir, "documents").where(h < _INC_CUTOFF)
+    kept = streaming_dedup_incremental(stream_batch, corpus, "text")
+    name = _run_stream_to_memory(kept.select("doc_id"), "inc_dedup_stream", "append")
+    return spark.table(name).agg(F.count("*").cast("long").alias("kept"))
+
+
 def q_streaming_hll_distinct_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable-sketch composition: HLL registers as
     applyInPandasWithState state over the events stream, sharded by key
@@ -1647,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling-corpus maintenance (new this round)
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "minhash_incremental_recall": q_minhash_incremental_recall,
+        "streaming_dedup_incremental_count": q_streaming_dedup_incremental_count,
         "corpus_delta_source": q_corpus_delta_source,
         "semantic_dedup_recall": q_semantic_dedup_recall,
         # --- dropped out of the r3 window; re-confirm ---
@@ -1670,7 +1696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: dedup / similarity / text analysis
         "dedup_exact_count": q_dedup_exact_count,
         "exact_dup_groups_source": q_exact_dup_groups_source,
-        "near_dup_components_exact_graph": q_near_dup_components_exact_graph,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
@@ -1704,6 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "rolling_event_features": q_rolling_event_features,
         "cosine_topk": q_cosine_topk,
+        # the components step is covered in-window end-to-end by
+        # dedup_near_simhash (same pairs->clusters->kept path)
+        "near_dup_components_exact_graph": q_near_dup_components_exact_graph,
         "asset_meta": q_asset_meta,
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "curate_neardup_invariant": q_curate_neardup_invariant,
@@ -1830,6 +1858,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM corpus c WHERE c.text = b.text)), "
             "keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text) "
             "SELECT f.doc_id, f.lang, f.source FROM fresh f JOIN keep USING (doc_id)"
+        ),
+        "streaming_dedup_incremental_count": (
+            f"WITH h AS (SELECT doc_id, text, "
+            f"((doc_id + {_INC_SEED}) * 2654435761) % 4294967296 AS hv FROM documents) "
+            "SELECT COUNT(DISTINCT text)::BIGINT AS kept FROM h b "
+            f"WHERE b.hv >= {_INC_CUTOFF} AND NOT EXISTS "
+            f"(SELECT 1 FROM h c WHERE c.hv < {_INC_CUTOFF} AND c.text = b.text)"
         ),
         "minhash_incremental_recall": (
             f"WITH h AS (SELECT doc_id, text, "

@@ -37,7 +37,14 @@ from pyspark.sql.types import (
 
 from mgspark.kernel import MGState, mg_build_weighted
 
-__all__ = ["mg_streaming_sketch", "streaming_hll_distinct", "windowed_token_counts", "streaming_dedup_exact", "streaming_session_windows"]
+__all__ = [
+    "mg_streaming_sketch",
+    "streaming_hll_distinct",
+    "windowed_token_counts",
+    "streaming_dedup_exact",
+    "streaming_dedup_incremental",
+    "streaming_session_windows",
+]
 
 STREAM_OUTPUT_SCHEMA = StructType(
     [
@@ -251,6 +258,35 @@ def streaming_dedup_exact(
         ts_col, delay = watermark
         return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_h"])
     return hashed.dropDuplicates(["_h"])
+
+
+def streaming_dedup_incremental(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    content_col: str,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`mgspark.pipeline.dedup.dedup_incremental`:
+    drop stream rows whose content already exists in a STATIC corpus,
+    then keep the first arrival per remaining distinct content.
+
+    The corpus side is a stream-static left-anti join — Spark re-plans
+    the static side per micro-batch and never copies it into the state
+    store, so the history can be arbitrarily large (it stays a parquet
+    scan of 32-byte hashes after pruning); only the within-stream
+    dedup state (one sha256 per NEW distinct value) grows, and a
+    ``watermark=(ts_col, delay)`` bounds even that via
+    ``dropDuplicatesWithinWatermark`` — the rolling-ingestion
+    configuration where the corpus is re-snapshotted daily and the
+    stream covers one day.
+    """
+    corpus_h = corpus_df.select(F.sha2(F.col(content_col), 256).alias("_h"))
+    hashed = stream_df.withColumn("_h", F.sha2(F.col(content_col), 256))
+    fresh = hashed.join(corpus_h, "_h", "left_anti")
+    if watermark is not None:
+        ts_col, delay = watermark
+        return fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_h"])
+    return fresh.dropDuplicates(["_h"])
 
 
 def windowed_token_counts(

@@ -326,3 +326,46 @@ def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
     true = len(set(all_keys.tolist()))
     assert est == batch_est, (est, batch_est)
     assert abs(est - true) <= 0.025 * true, (est, true)
+
+
+def test_streaming_dedup_incremental_vs_static_corpus(spark, tmp_path):
+    """Stream-static anti-join dedup: rows whose content already exists
+    in the static corpus are dropped in every micro-batch, and the
+    within-stream first-arrival dedup still spans batches."""
+    import pandas as pd
+
+    from mgspark.streaming import streaming_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(100, "old-a"), (101, "old-b")], "doc_id long, text string"
+    )
+    src = tmp_path / "isrc"
+    src.mkdir()
+    # batch 0: one corpus hit ("old-a"), two new; batch 1: a repeat of a
+    # batch-0 new value ("new-x"), a corpus hit ("old-b"), one new.
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": ["old-a", "new-x", "new-y"]}).to_parquet(
+        os.path.join(str(src), "f0.parquet"), index=False
+    )
+    pd.DataFrame({"doc_id": [3, 4, 5], "text": ["new-x", "old-b", "new-z"]}).to_parquet(
+        os.path.join(str(src), "f1.parquet"), index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    kept = streaming_dedup_incremental(stream, corpus, "text")
+    query = (
+        kept.select("doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("inc_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM inc_dedup_stream_test").collect()
+    assert sorted(r["text"] for r in rows) == ["new-x", "new-y", "new-z"]
+    # first arrival wins for the within-stream duplicate
+    assert {r["text"]: r["doc_id"] for r in rows}["new-x"] == 1
