@@ -547,6 +547,45 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs, "text", "doc_id")
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection (Lee et al. 2021): per-doc
+    counts of corpus-duplicated 13-token windows merged into maximal
+    spans.  Runs the scale-default xxhash64 window index; the oracle
+    recomputes from exact string windows, so the green row also proves
+    the hashed index is collision-free at this sf."""
+    from mgspark.pipeline.substr import dup_span_stats
+
+    return dup_span_stats(_read(spark, sf_dir, "documents"), "text", "doc_id", w=13)
+
+
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup applied: every token covered by a duplicated
+    13-token window removed from the text, all other docs unchanged —
+    the oracle rebuilds each cleaned string from the covered-position
+    union, so the rewrite is hash-compared byte-for-byte."""
+    from mgspark.pipeline.substr import remove_dup_spans
+
+    return remove_dup_spans(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", w=13
+    ).select("doc_id", "text")
+
+
+def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM fluency features: the model is trained on
+    the documents table itself (vocab capped to top-25 of the 31-token
+    synthetic vocabulary so the cap and its (count desc, token asc)
+    tie-break are exercised cross-engine), then every doc is scored
+    against it.  Integer columns only — the float avg_logprob stays out
+    of the hash per the integer-first contract."""
+    from mgspark.pipeline.lm import lm_score, lm_train
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = lm_train(docs, "text", vocab_size=25, min_count=2)
+    return lm_score(docs, lm, "text", "doc_id").select(
+        "id", "n_bigrams", "n_known_bigrams", "known_count_sum"
+    )
+
+
 def _bench_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic eval set for decontamination: a deterministic 2% hash
     sample of documents (seed 31), re-keyed so ids never collide with
@@ -1675,6 +1714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_incremental_count": q_streaming_dedup_incremental_count,
         "corpus_delta_source": q_corpus_delta_source,
         "semantic_dedup_recall": q_semantic_dedup_recall,
+        # ExactSubstr dedup + bigram-LM scoring (new this round)
+        "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
+        "lm_score_docs": q_lm_score_docs,
         # --- dropped out of the r3 window; re-confirm ---
         "cms_returnflag": q_cms_returnflag,
         "mg_user_level_event_type": q_mg_user_level_event_type,
@@ -1688,14 +1731,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_mg_event_type": q_streaming_mg_event_type,
         "streaming_hll_distinct_user_id": q_streaming_hll_distinct_user_id,
         # --- one representative per operator family ---
-        "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
         "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
         "mg_sketch_doc_tokens_k8": q_mg_sketch_doc_tokens_k8,
         "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
         # pipeline: dedup / similarity / text analysis
-        "dedup_exact_count": q_dedup_exact_count,
-        "exact_dup_groups_source": q_exact_dup_groups_source,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
@@ -1725,6 +1765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curate_documents covers curation, weighted_sample covers the
         # sampling hash, bpe covers token counting, session+asof cover
         # temporal, the recall invariants cover cosine arithmetic):
+        # mg_topk_doc_lang: five sibling column variants below carry the
+        # same code path; dedup_exact/dup_groups: superseded in-window by
+        # dedup_incremental_exact + corpus_delta_source (same sha256
+        # groupBy kernel) — all three were green in r1-r3
+        "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
+        "dedup_exact_count": q_dedup_exact_count,
+        "exact_dup_groups_source": q_exact_dup_groups_source,
         "token_stats": q_token_stats,
         "stratified_sample_docs": q_stratified_sample_docs,
         "rolling_event_features": q_rolling_event_features,
@@ -1952,6 +1999,57 @@ def oracle_sql() -> dict[str, str]:
             "1::BIGINT AS sem_recall_complete "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
+        ),
+        "dup_span_stats": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(coalesce(text,''), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "pg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-12)) AS pos FROM toks), "
+            "g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+12], ' ') AS gram FROM pg), "
+            "dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+            "m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)), "
+            "isl AS (SELECT doc_id, pos, SUM(CASE WHEN lagpos IS NOT NULL AND pos - lagpos > 13 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island "
+            "FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) "
+            "AS lagpos FROM m)), "
+            "spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos)+12 AS e, COUNT(*) AS nw "
+            "FROM isl GROUP BY doc_id, island) "
+            "SELECT doc_id AS id, SUM(nw)::BIGINT AS n_dup_windows, "
+            "COUNT(*)::BIGINT AS n_spans, SUM(e-s+1)::BIGINT AS dup_tokens "
+            "FROM spans GROUP BY doc_id"
+        ),
+        "remove_dup_spans": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(coalesce(text,''), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "pg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-12)) AS pos FROM toks), "
+            "g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+12], ' ') AS gram FROM pg), "
+            "dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+            "m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)), "
+            "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+12)) AS tp FROM m), "
+            "covl AS (SELECT doc_id, list(tp) AS cps FROM cov GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN c.cps IS NULL THEN d.text "
+            # array_to_string([]) is NULL in DuckDB but concat_ws of an
+            # empty array is '' in Spark — coalesce the fully-stripped case
+            "ELSE COALESCE(array_to_string(list_filter(t.t, "
+            "(x, i) -> NOT list_contains(c.cps, i)), ' '), '') "
+            "END AS text "
+            "FROM documents d JOIN toks t USING (doc_id) LEFT JOIN covl c USING (doc_id)"
+        ),
+        "lm_score_docs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(coalesce(text,''), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "uni AS (SELECT tok FROM (SELECT unnest(t) AS tok FROM toks) "
+            "GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 25), "
+            "bgp AS (SELECT doc_id, t[pos] || ' ' || t[pos+1] AS bg "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS pos FROM toks)), "
+            "bi AS (SELECT bg, COUNT(*) AS n FROM bgp GROUP BY bg HAVING COUNT(*) >= 2), "
+            "biv AS (SELECT bg, n FROM bi WHERE split_part(bg, ' ', 1) IN (SELECT tok FROM uni) "
+            "AND split_part(bg, ' ', 2) IN (SELECT tok FROM uni)), "
+            "sc AS (SELECT doc_id, COUNT(bgp.bg) AS nb, COUNT(v.n) AS nk, "
+            "COALESCE(SUM(v.n), 0) AS kcs FROM bgp LEFT JOIN biv v USING (bg) GROUP BY doc_id) "
+            "SELECT d.doc_id AS id, COALESCE(sc.nb, 0)::BIGINT AS n_bigrams, "
+            "COALESCE(sc.nk, 0)::BIGINT AS n_known_bigrams, "
+            "COALESCE(sc.kcs, 0)::BIGINT AS known_count_sum "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         "token_stats": (
             "SELECT doc_id AS id, "

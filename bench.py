@@ -182,6 +182,9 @@ HEADLINE_QUERIES = [
     "minhash_incremental_recall",
     "corpus_delta_source",
     "semantic_dedup_recall",
+    "dup_span_stats",
+    "remove_dup_spans",
+    "lm_score_docs",
 ]
 
 
