@@ -586,6 +586,67 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 512
+
+
+def _dsir_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR target corpus: the same deterministic 2% hash sample
+    (seed 31) the decontamination bench set uses — a 'high-quality
+    subset' stand-in whose membership DuckDB recomputes exactly."""
+    from mgspark.pipeline.sampling import hash_sample
+
+    return hash_sample(_read(spark, sf_dir, "documents"), "doc_id", 0.02, seed=31)
+
+
+def q_dsir_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance features (arXiv:2302.03169): every doc scored
+    against a target subset via hashed unigram+bigram bucket counts.
+    Integer columns only (gram totals and target/raw bucket-count
+    sums); the float log_weight stays out per the integer-first
+    contract.  The sha256-prefix bucket hash is recomputed verbatim by
+    DuckDB, so the whole featurize -> model -> score pipeline is
+    hash-compared."""
+    from mgspark.pipeline.dsir import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, _dsir_target(spark, sf_dir), n_buckets=_DSIR_BUCKETS
+    ).select("id", "n_grams", "target_count_sum", "raw_count_sum")
+
+
+def q_dsir_resample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k resampling invariants, computed distributedly (the
+    selections never reach the driver): exactly n selected, all from
+    the corpus, and an independent recomputation selects the identical
+    set.  log_weight is rounded to 9 decimals first so float summation
+    order across runs cannot flip a near-tie in the contract row."""
+    from mgspark.pipeline.dsir import dsir_log_weights, dsir_resample
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def weights() -> DataFrame:
+        w = dsir_log_weights(docs, _dsir_target(spark, sf_dir), n_buckets=_DSIR_BUCKETS)
+        return w.withColumn("log_weight", F.round("log_weight", 9))
+
+    n = 200
+    sel1 = dsir_resample(weights(), n, seed=11).select("id")
+    sel2 = dsir_resample(weights(), n, seed=11).select("id")
+    n_selected = sel1.count()
+    n_outside = sel1.join(
+        docs.select(F.col("doc_id").cast("long").alias("id")), "id", "left_anti"
+    ).count()
+    n_rerun_mismatch = (
+        sel1.withColumn("_a", F.lit(1))
+        .join(sel2.withColumn("_b", F.lit(1)), "id", "full_outer")
+        .where(F.col("_a").isNull() | F.col("_b").isNull())
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_selected, n_outside, n_rerun_mismatch)],
+        "n_selected long, n_outside long, n_rerun_mismatch long",
+    )
+
+
 def _bench_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic eval set for decontamination: a deterministic 2% hash
     sample of documents (seed 31), re-keyed so ids never collide with
@@ -1718,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "remove_dup_spans": q_remove_dup_spans,
         "lm_score_docs": q_lm_score_docs,
+        "dsir_features_docs": q_dsir_features_docs,
+        "dsir_resample_check": q_dsir_resample_check,
         # --- dropped out of the r3 window; re-confirm ---
         "cms_returnflag": q_cms_returnflag,
         "mg_user_level_event_type": q_mg_user_level_event_type,
@@ -1742,8 +1805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
-        # deterministic sampling (training-data mixtures)
-        "weighted_sample_docs": q_weighted_sample_docs,
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
@@ -1754,7 +1815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
         # multimodal (binary asset columns)
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
-        "pcm_waveform_stats": q_pcm_waveform_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         # --------- position 51+: long-stable redundant variants ---------
@@ -1772,6 +1832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_doc_lang": _mg_topk_query("documents", "lang", 100),
         "dedup_exact_count": q_dedup_exact_count,
         "exact_dup_groups_source": q_exact_dup_groups_source,
+        # rotated out r4 for the DSIR rows: sampling.py and the PCM path
+        # are unchanged since their green r3 rows (weighted_sample's
+        # hash is also re-proven in-window via dsir_resample_check's
+        # Knuth-hash Gumbel keys; decode_image covers asset parsing)
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "pcm_waveform_stats": q_pcm_waveform_stats,
         "token_stats": q_token_stats,
         "stratified_sample_docs": q_stratified_sample_docs,
         "rolling_event_features": q_rolling_event_features,
@@ -2050,6 +2116,32 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(sc.nk, 0)::BIGINT AS n_known_bigrams, "
             "COALESCE(sc.kcs, 0)::BIGINT AS known_count_sum "
             "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "dsir_features_docs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(coalesce(text,''), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(t) AS gram FROM toks "
+            "UNION ALL SELECT doc_id, t[pos] || ' ' || t[pos+1] AS gram "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS pos FROM toks)), "
+            f"b AS (SELECT doc_id, ('0x' || substr(sha256(gram),1,8))::BIGINT "
+            f"% {_DSIR_BUCKETS} AS bucket FROM g), "
+            "feat AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2), "
+            "rawm AS (SELECT bucket, SUM(cnt)::BIGINT AS rcnt FROM feat GROUP BY 1), "
+            # target = the 2% seed-31 hash sample, same Knuth arithmetic
+            "tgtm AS (SELECT bucket, SUM(cnt)::BIGINT AS tcnt FROM feat "
+            "WHERE ((doc_id + 31) * 2654435761) % 4294967296 < 85899345 GROUP BY 1), "
+            "sc AS (SELECT f.doc_id, SUM(f.cnt) AS ng, "
+            "SUM(f.cnt * COALESCE(tm.tcnt, 0)) AS tcs, SUM(f.cnt * rm.rcnt) AS rcs "
+            "FROM feat f LEFT JOIN tgtm tm USING (bucket) "
+            "JOIN rawm rm USING (bucket) GROUP BY 1) "
+            "SELECT d.doc_id AS id, COALESCE(sc.ng, 0)::BIGINT AS n_grams, "
+            "COALESCE(sc.tcs, 0)::BIGINT AS target_count_sum, "
+            "COALESCE(sc.rcs, 0)::BIGINT AS raw_count_sum "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "dsir_resample_check": (
+            "SELECT 200::BIGINT AS n_selected, 0::BIGINT AS n_outside, "
+            "0::BIGINT AS n_rerun_mismatch"
         ),
         "token_stats": (
             "SELECT doc_id AS id, "

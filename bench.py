@@ -185,6 +185,8 @@ HEADLINE_QUERIES = [
     "dup_span_stats",
     "remove_dup_spans",
     "lm_score_docs",
+    "dsir_features_docs",
+    "dsir_resample_check",
 ]
 
 

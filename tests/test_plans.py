@@ -333,3 +333,26 @@ def test_corpus_delta_is_single_equi_full_outer(docs):
     assert "NestedLoop" not in outer[0] and "Cartesian" not in outer[0]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_all_joins_broadcast_no_id_rejoin(docs):
+    """DSIR scoring must be two combiner aggregations + broadcast model
+    joins: no SortMergeJoin (a corpus-size id re-join) and no Python in
+    the scoring path — empty docs ride through explode_outer rows."""
+    from mgspark.pipeline.dsir import dsir_log_weights
+
+    w = dsir_log_weights(docs, docs.limit(20), n_buckets=128)
+    plan = _formatted(w)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_resample_is_take_ordered(docs):
+    """Gumbel top-k must compile to TakeOrdered (sort+limit), never a
+    global Sort materialization."""
+    from mgspark.pipeline.dsir import dsir_log_weights, dsir_resample
+
+    w = dsir_log_weights(docs, docs.limit(20), n_buckets=128)
+    plan = _formatted(dsir_resample(w, 10, seed=1))
+    assert "TakeOrderedAndProject" in plan
