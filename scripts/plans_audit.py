@@ -199,6 +199,57 @@ def main() -> None:
         tree(sketch_agg_grouped(docs, "lang", "doc_id", HLLSketch(12), mode="mapside")),
     ))
 
+    from mgspark.pipeline.decontam import decontaminate
+    from mgspark.pipeline.dedup import dedup_incremental
+    from mgspark.pipeline.dsir import dsir_log_weights, dsir_resample
+    from mgspark.pipeline.substr import dup_span_stats
+
+    bench = docs.limit(40).selectExpr("doc_id + 1000000 AS bench_id", "text")
+    sections.append((
+        "Decontamination: broadcast eval grams, map-side corpus stream",
+        "The eval-set gram relation is explicitly broadcast "
+        "(BroadcastHashJoin); the corpus side never shuffles raw grams — "
+        "the only exchange is the combiner count over MATCHED grams, a "
+        "minuscule fraction of the corpus at any scale.",
+        tree(decontaminate(docs, bench, n=13)),
+    ))
+
+    sections.append((
+        "ExactSubstr duplicate spans: one exchange+sort per doc stream",
+        "Window keys count via map-side-combinable HashAggregates; the "
+        "duplicated-key join-back is AQE-broadcastable; the "
+        "gaps-and-islands span merge shares ONE (doc) exchange + sort "
+        "across its lag flag and running island id.",
+        tree(dup_span_stats(docs, "text", "doc_id", w=13)),
+    ))
+
+    sections.append((
+        "DSIR scoring: broadcast models, no corpus-size id re-join",
+        "Both bucket models are <= n_buckets rows by construction and "
+        "broadcast; gram-less docs ride explode_outer zero-count rows "
+        "through the same combiner aggregations, so no SortMergeJoin "
+        "against the id column ever appears.",
+        tree(dsir_log_weights(docs, docs.limit(20), n_buckets=256)),
+    ))
+
+    sections.append((
+        "DSIR resample: Gumbel top-k compiles to TakeOrdered",
+        "Selection is sort+limit (TakeOrderedAndProject) on a key that "
+        "is a pure function of (id, seed) — no global sort "
+        "materializes, and the kept set is identical at any "
+        "parallelism.",
+        tree(dsir_resample(dsir_log_weights(docs, docs.limit(20), n_buckets=256), 10, seed=1)),
+    ))
+
+    sections.append((
+        "Incremental dedup: 32-byte corpus projection, anti-join",
+        "The history side is pruned to its sha256 digest before the "
+        "exchange — no corpus text ever moves; the batch-vs-history "
+        "check is a LeftAnti hash join that AQE can broadcast when the "
+        "batch is small.",
+        tree(dedup_incremental(docs.limit(100), docs, "text", "doc_id")),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the flagship operators",
         "",
