@@ -136,6 +136,10 @@ def scale_worker(cores: int, repo_dir: str, warm_dir: str | None = None,
 # (a long run already integrates over steal windows; re-running doubles
 # the bench budget for little variance reduction).
 _RERUN_CUTOFF_SEC = 8.0
+# Headline-phase wall budget (sec): pass 2 stops when exceeded, so the
+# whole bench (headline + ~3 min scaling) stays inside the driver's
+# per-round window however many contract queries the registry grows.
+_HEADLINE_BUDGET_SEC = float(os.environ.get("MGSPARK_BENCH_HEADLINE_BUDGET", "300"))
 
 HEADLINE_QUERIES = [
     "mg_topk_user_id",
@@ -227,8 +231,16 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
     )
 
     qmap = entrymod.queries()
+    phase_start = time.perf_counter()
     for _pass in range(2):
         for name in ["q_build_merge_repo_tokens", "q_build_merge_preagg"] + HEADLINE_QUERIES:
+            if _pass > 0 and time.perf_counter() - phase_start > _HEADLINE_BUDGET_SEC:
+                # Wall budget: pass 1 (every query measured once) always
+                # completes; the variance-damping second pass yields when
+                # the headline phase would push the whole bench past the
+                # driver's window.  Best-observed history across rounds
+                # recovers the damping the skipped tail loses.
+                break
             if _pass > 0 and queries.get(name, 0.0) > _RERUN_CUTOFF_SEC:
                 continue  # long runs already integrate over steal windows
             if name == "q_build_merge_repo_tokens":

@@ -58,19 +58,24 @@ def ws_tokens_expr(text_col: str, null_as_empty: bool = False):
 def word_ngrams_expr(text_col: str, n: int):
     """Array of space-joined word ``n``-grams over the canonical
     whitespace tokenization (`ws_tokens_expr`, NULL text -> empty).
-    Shared by repetition_stats and decontamination so both sides of a
-    cross-corpus comparison gram identically.  ANSI-safe: ``sequence(1,
-    0)`` would count DOWN, so short documents gate to an empty array."""
+    Shared by repetition_stats, decontamination, ExactSubstr, and DSIR
+    so every side of a cross-corpus comparison grams identically.
+    ANSI-safe: ``sequence(1, 0)`` would count DOWN, so short documents
+    gate to an empty array.
+
+    Each gram is ``concat_ws(slice(toks, i, n))`` — ONE reference to the
+    token array per position.  The per-token ``element_at(toks, i+j)``
+    form is ~8x slower end-to-end: the ``toks`` subexpression (a
+    split+filter over the raw text) is not common-subexpression-
+    eliminated inside a higher-order lambda, so n references re-run the
+    tokenization n times per position."""
     if n < 1:
         raise ValueError(f"word_ngrams_expr requires n >= 1, got {n}")
     toks = ws_tokens_expr(text_col, null_as_empty=True)
     positions = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        positions,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+    return F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
