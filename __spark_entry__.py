@@ -629,8 +629,13 @@ def q_dsir_resample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         return w.withColumn("log_weight", F.round("log_weight", 9))
 
     n = 200
-    sel1 = dsir_resample(weights(), n, seed=11).select("id")
-    sel2 = dsir_resample(weights(), n, seed=11).select("id")
+    # Persist both 200-row selections so the three invariant counts
+    # execute each independent weights pipeline exactly ONCE (the two
+    # runs the rerun-identity check needs), not once per count action.
+    from mgspark.cacheutil import transient_persist
+
+    sel1 = transient_persist(dsir_resample(weights(), n, seed=11).select("id"))
+    sel2 = transient_persist(dsir_resample(weights(), n, seed=11).select("id"))
     n_selected = sel1.count()
     n_outside = sel1.join(
         docs.select(F.col("doc_id").cast("long").alias("id")), "id", "left_anti"

@@ -198,3 +198,12 @@ def test_validation_errors(spark, raw_df, target_df):
     weights = spark.createDataFrame([(1, 0.0)], "id long, log_weight double")
     with pytest.raises(ValueError, match="n must be"):
         dsir_resample(weights, -1)
+
+
+def test_empty_target_corpus_yields_finite_weights(spark, raw_df):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = dsir_log_weights(raw_df, empty, n_buckets=B).collect()
+    assert len(rows) == len(RAW)
+    for r in rows:
+        assert r["target_count_sum"] == 0
+        assert math.isfinite(r["log_weight"])
