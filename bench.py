@@ -141,6 +141,26 @@ _RERUN_CUTOFF_SEC = 8.0
 # per-round window however many contract queries the registry grows.
 _HEADLINE_BUDGET_SEC = float(os.environ.get("MGSPARK_BENCH_HEADLINE_BUDGET", "300"))
 
+# Whole-run wall budget (sec).  The host's effective CPU capacity swings
+# 2-3x between windows (oversubscribed vCPUs, frequency capping without
+# visible steal — measured 2026-08-17: the pure-JVM probe ran 2.5x slower
+# than its best window on an otherwise-idle VM).  On a degraded window
+# every Spark job inflates together, so the bench budgets WALL TIME, not
+# work: pass 2 yields first, then scaling pairs are dropped in reverse
+# priority order (history carries their best-observed points), so the run
+# always finishes and always writes its artifacts.
+_TOTAL_BUDGET_SEC = float(os.environ.get("MGSPARK_BENCH_TOTAL_BUDGET", "840"))
+# Wall reserve for the scaling phase (first pair + subprocess JVM spin-up
+# on a degraded window); pass 2 never eats into it.
+_SCALING_RESERVE_SEC = float(os.environ.get("MGSPARK_BENCH_SCALING_RESERVE", "360"))
+_BENCH_START: float | None = None
+
+
+def _remaining() -> float:
+    if _BENCH_START is None:
+        return float("inf")
+    return _TOTAL_BUDGET_SEC - (time.perf_counter() - _BENCH_START)
+
 HEADLINE_QUERIES = [
     "mg_topk_user_id",
     "mg_topk_returnflag",
@@ -234,12 +254,16 @@ def run_headline(spark, repo_dir: str) -> tuple[dict, dict]:
     phase_start = time.perf_counter()
     for _pass in range(2):
         for name in ["q_build_merge_repo_tokens", "q_build_merge_preagg"] + HEADLINE_QUERIES:
-            if _pass > 0 and time.perf_counter() - phase_start > _HEADLINE_BUDGET_SEC:
+            if _pass > 0 and (
+                time.perf_counter() - phase_start > _HEADLINE_BUDGET_SEC
+                or _remaining() < _SCALING_RESERVE_SEC
+            ):
                 # Wall budget: pass 1 (every query measured once) always
                 # completes; the variance-damping second pass yields when
                 # the headline phase would push the whole bench past the
-                # driver's window.  Best-observed history across rounds
-                # recovers the damping the skipped tail loses.
+                # driver's window OR into the scaling phase's reserve.
+                # Best-observed history across rounds recovers the damping
+                # the skipped tail loses.
                 break
             if _pass > 0 and queries.get(name, 0.0) > _RERUN_CUTOFF_SEC:
                 continue  # long runs already integrate over steal windows
@@ -287,9 +311,17 @@ def _scale_pair(low: int, high: int, repo_dir: str, warm_dir: str,
                 cmd.append("--pre")
             if with_cpu_probe:
                 cmd.append("--cpu-probe")
+            # A worker on a pathological host window must not eat the
+            # whole scaling reserve (observed 2026-08-17: a local[2]
+            # worker that takes 80s in a normal window ran >530s in a bad
+            # one): cap each worker at ~5.5 min regardless of remaining
+            # budget; TimeoutExpired propagates to run_scaling, which
+            # falls back to history for this pair and still has budget
+            # for the next.
             proc = subprocess.run(
                 cmd,
                 capture_output=True, text=True, check=True, cwd=REPO,
+                timeout=max(180.0, min(_remaining() + 60.0, 330.0)),
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             result = json.loads(line)
@@ -451,6 +483,65 @@ def _merge_probe_history(host: dict | None) -> dict | None:
     return best
 
 
+def _shutdown_jvm() -> None:
+    """Terminate the py4j gateway JVM once the headline session stops.
+
+    The pyspark JVM outlives ``spark.stop()`` (it normally dies with the
+    python process) and holds an 8g heap next to the scaling subprocesses;
+    in-context scale workers have measured up to 6x slower than identical
+    standalone runs.  The scaling phase is subprocess-only, so the parent
+    needs no JVM afterwards — kill it instead of benching beside it."""
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is None:
+            return
+        proc = getattr(gw, "proc", None)
+        gw.shutdown()
+        if proc is not None:
+            try:
+                proc.terminate()
+            except OSError:
+                pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    except Exception:
+        pass  # best effort — a lingering idle JVM is not fatal
+
+
+def _history_scaling() -> dict:
+    """Best-observed scaling points from history, in run_scaling's shape —
+    used for the partial (headline-only) emit so a run killed during the
+    scaling phase still leaves a schema-complete artifact."""
+    path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    history = {}
+    if os.path.exists(path):
+        try:
+            with open(path, encoding="utf8") as f:
+                history = json.load(f)
+        except (OSError, ValueError):
+            history = {}
+    p28 = history.get("preagg_2v8")
+    return {
+        "sketch_2v8": history.get("sketch_2v8"),
+        "preagg_2v8": p28,
+        "preagg_8v32": history.get("preagg_8v32"),
+        "host_cpu_probe_8v32": history.get("host_probe_best"),
+        "host_cpu_probe_current": None,
+        "preagg_8v32_vs_host_ceiling": None,
+        "efficiency": (
+            (p28.get("best_pair_efficiency") or p28["efficiency"]) if p28 else None
+        ),
+        "current_run_efficiency": None,
+        "pairs_measured": [],
+        "pairs_from_history": sorted(
+            k for k in ("sketch_2v8", "preagg_2v8", "preagg_8v32") if k in history
+        ),
+        "pair_errors": {},
+    }
+
+
 def run_scaling(scale_dir: str, warm_dir: str) -> dict:
     # Two execution paths x two N-vs-4N pairs.  The zero-shuffle sketch
     # path is ceiling-limited by this VM's JVM->Python Arrow pipe rate
@@ -461,41 +552,81 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
     # One round per pair per invocation: best-observed points accumulate
     # across bench runs via scaling_history.json (the driver benches every
     # round), so per-run wall time stays inside the driver budget.
-    sketch_2v8 = _scale_pair(2, 8, warm_dir, warm_dir, rounds=1)
-    pre_2v8 = _scale_pair(2, 8, scale_dir, warm_dir, rounds=1, pre_aggregate=True)
-    # Host-capacity probe rides inside the 8v32 worker sessions: what
-    # 8->32 speedup the VM can deliver at all (pure-CPU JVM job).  The
-    # engine's 8v32 number is normalized against it so plan regressions
-    # are separable from environment ceilings.
+    #
+    # Priority order under the wall budget: the 2v8 combiner pair carries
+    # the headline >=0.8 efficiency criterion and ALWAYS runs; the 8v32
+    # pair carries the host-ceiling normalization; the zero-shuffle pair
+    # is diagnostic.  On a degraded host window later pairs are skipped
+    # (cost-estimated from the pair just measured) and their best-observed
+    # history points are reported instead — a fresh degraded sample would
+    # not displace the history bests anyway.
     _scale_pair.last_probe = None  # never reuse a stale probe
-    pre_8v32 = _scale_pair(
-        8, 32, scale_dir, warm_dir, rounds=1, pre_aggregate=True, with_cpu_probe=True
-    )
-    best = _merge_history(
-        {"sketch_2v8": sketch_2v8, "preagg_2v8": pre_2v8, "preagg_8v32": pre_8v32}
-    )
+    plan = [
+        ("preagg_2v8", lambda: _scale_pair(
+            2, 8, scale_dir, warm_dir, rounds=1, pre_aggregate=True)),
+        ("preagg_8v32", lambda: _scale_pair(
+            8, 32, scale_dir, warm_dir, rounds=1, pre_aggregate=True,
+            with_cpu_probe=True)),
+        ("sketch_2v8", lambda: _scale_pair(2, 8, warm_dir, warm_dir, rounds=1)),
+    ]
+    ran, skipped, errors = {}, [], {}
+    pair_cost = 0.0
+    for i, (name, thunk) in enumerate(plan):
+        if i > 0 and _remaining() < pair_cost * 1.25:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        try:
+            ran[name] = thunk()
+        except subprocess.TimeoutExpired as e:
+            # Worker hung in a bad host window: history carries the pair.
+            skipped.append(name)
+            errors[name] = f"worker timeout after {e.timeout:.0f}s"
+        except subprocess.CalledProcessError as e:
+            skipped.append(name)
+            tail = (e.stderr or "").strip().splitlines()[-3:]
+            errors[name] = f"worker rc={e.returncode}: " + " | ".join(tail)[-300:]
+        pair_cost = max(pair_cost, time.perf_counter() - t0)
+    # _merge_history folds only the measured pairs; pairs not passed are
+    # preserved from history verbatim, so `best` still holds every pair
+    # that has ever been measured at this token count.
+    best = _merge_history(ran)
     # If the probe did not run, report that — never fabricate a ceiling.
     # The ceiling normalization uses the best-observed (cleanest-window)
     # probe: a probe sampled inside a steal spike *understates* host
     # capacity and would make the job look super-ceiling (>100%).
     host_now = getattr(_scale_pair, "last_probe", None)
     host = _merge_probe_history(host_now)
-    p832 = best["preagg_8v32"]
+    p832 = best.get("preagg_8v32")
     job_speedup = (
         p832["local32_tokens_per_sec"] / p832["local8_tokens_per_sec"]
+        if p832
+        else None
     )
+    p28 = best.get("preagg_2v8")
     return {
-        "sketch_2v8": best["sketch_2v8"],
-        "preagg_2v8": best["preagg_2v8"],
-        "preagg_8v32": best["preagg_8v32"],
+        "sketch_2v8": best.get("sketch_2v8"),
+        "preagg_2v8": p28,
+        "preagg_8v32": p832,
         "host_cpu_probe_8v32": host,
         "host_cpu_probe_current": host_now,
         "preagg_8v32_vs_host_ceiling": (
-            round(job_speedup / host["speedup"], 3) if host else None
+            round(job_speedup / host["speedup"], 3)
+            if host and job_speedup
+            else None
         ),
-        "efficiency": best["preagg_2v8"].get("best_pair_efficiency")
-        or best["preagg_2v8"]["efficiency"],
-        "current_run_efficiency": pre_2v8["efficiency"],
+        "efficiency": (
+            (p28.get("best_pair_efficiency") or p28["efficiency"]) if p28 else None
+        ),
+        "current_run_efficiency": (
+            ran["preagg_2v8"]["efficiency"] if "preagg_2v8" in ran else None
+        ),
+        # Evidence trail: which pairs this invocation measured fresh vs
+        # reported from best-observed history (degraded-window skips),
+        # plus any worker failures — never silently.
+        "pairs_measured": sorted(ran),
+        "pairs_from_history": skipped,
+        "pair_errors": errors,
     }
 
 
@@ -530,10 +661,10 @@ def write_bench_md(queries, meta, scaling) -> None:
         f"{best_observed.get(name, sec)} | {run_trail.get(name, [sec])} |"
         for name, sec in queries.items()
     ]
-    s28 = scaling["sketch_2v8"]
-    p28 = scaling["preagg_2v8"]
-    p832 = scaling["preagg_8v32"]
-    host = scaling["host_cpu_probe_8v32"]
+    s28 = scaling.get("sketch_2v8")
+    p28 = scaling.get("preagg_2v8")
+    p832 = scaling.get("preagg_8v32")
+    host = scaling.get("host_cpu_probe_8v32")
     host_now = scaling.get("host_cpu_probe_current")
 
     def pair_rows(p, low, high):
@@ -551,6 +682,16 @@ def write_bench_md(queries, meta, scaling) -> None:
             ),
             "",
         ]
+
+    def pair_section(title, p, low, high):
+        # A pair with neither a fresh sample nor history (first run on a
+        # degraded window) reports its absence instead of crashing the
+        # artifact write.
+        if p is None:
+            return [title.replace("{tokens}", "no data"), "",
+                    "(not measured this invocation and no history point)", ""]
+        return [title.replace("{tokens}", f"{p['tokens']:,} tokens"), "",
+                *pair_rows(p, low, high)]
 
     lines += [
         "",
@@ -576,15 +717,25 @@ def write_bench_md(queries, meta, scaling) -> None:
         "cross the boundary) is therefore the scaling-representative",
         "configuration; both are reported.",
         "",
-        f"### Combiner path, local[2] vs local[8] ({p28['tokens']:,} tokens) — headline",
-        "",
-        *pair_rows(p28, 2, 8),
-        f"### Combiner path, local[8] vs local[32] ({p832['tokens']:,} tokens)",
-        "",
-        *pair_rows(p832, 8, 32),
-        f"### Zero-shuffle sketch path, local[2] vs local[8] ({s28['tokens']:,} tokens)",
-        "",
-        *pair_rows(s28, 2, 8),
+        *(
+            [
+                "Pairs measured this invocation: "
+                + (", ".join(scaling["pairs_measured"]) or "none")
+                + "; reported from best-observed history (degraded-window "
+                "skip): " + ", ".join(scaling["pairs_from_history"]) + ".",
+                "",
+            ]
+            if scaling.get("pairs_from_history")
+            else []
+        ),
+        *pair_section(
+            "### Combiner path, local[2] vs local[8] ({tokens}) — headline",
+            p28, 2, 8),
+        *pair_section(
+            "### Combiner path, local[8] vs local[32] ({tokens})", p832, 8, 32),
+        *pair_section(
+            "### Zero-shuffle sketch path, local[2] vs local[8] ({tokens})",
+            s28, 2, 8),
         "At 10^12-file scale on a real cluster the sketch path's boundary",
         "ceiling is per-executor, so executors multiply pipes; in this",
         "single-JVM sandbox the pipes share one process, which is what the",
@@ -617,10 +768,16 @@ def write_bench_md(queries, meta, scaling) -> None:
                 "spike understates host capacity; the normalization below",
                 "uses the best window.",
                 "",
-                f"The combiner sketch job reaches {round(4 * p832['efficiency'], 2)}x over the same",
-                f"pair — **{round(100 * scaling['preagg_8v32_vs_host_ceiling'])}% of what the host",
-                "delivers to any job at 32 threads**.",
-                "",
+                *(
+                    [
+                        f"The combiner sketch job reaches {round(4 * p832['efficiency'], 2)}x over the same",
+                        f"pair — **{round(100 * scaling['preagg_8v32_vs_host_ceiling'])}% of what the host",
+                        "delivers to any job at 32 threads**.",
+                        "",
+                    ]
+                    if p832 and scaling.get("preagg_8v32_vs_host_ceiling")
+                    else []
+                ),
                 "Swept and excluded during tuning: driver heap 8g->24g (no",
                 "change — not GC), shuffle partitions, input splits (64 x",
                 "8MB splits, 2+ waves at 32 cores).  Steal measured DURING",
@@ -664,6 +821,8 @@ def main() -> None:
         scale_worker(int(args[0]), args[1], args[2] if len(args) > 2 else None, pre, probe)
         return
 
+    global _BENCH_START
+    _BENCH_START = time.perf_counter()
     from mgspark.session import get_spark
 
     repo_dir = _repo_table_dir(REPO_ROWS)
@@ -671,29 +830,40 @@ def main() -> None:
     spark = get_spark("mgspark-bench", cores=CPUS, extra_conf=SPLIT_CONF)
     queries, meta = run_headline(spark, repo_dir)
     spark.stop()
-    scaling = run_scaling(scale_dir, repo_dir)
+    _shutdown_jvm()
     sf_token = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     meta["query_best_observed"] = _merge_query_history(queries, sf_token, CPUS)
-    write_bench_md(queries, meta, scaling)
 
-    sf = sf_token
-    result = {
-        "metric": "mg_build_merge_and_query_wall",
-        "value": round(sum(queries.values()), 4),
-        "unit": "sec",
-        "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "throughput_tokens_per_sec": meta["repo_tokens_per_sec"],
-        "preagg_throughput_tokens_per_sec": meta["preagg_tokens_per_sec"],
-        "scaling": scaling,
-    }
-    # The driver captures stdout's last line, which tail-truncation has
-    # mangled before (VERDICT r3 #4) — persist the full object to a
-    # self-contained artifact every roll.
-    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w", encoding="utf8") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
-    print(json.dumps(result))
+    def emit(scaling, partial: bool) -> None:
+        # The driver captures stdout's last line, which tail-truncation
+        # has mangled before (VERDICT r3 #4) — persist the full object to
+        # a self-contained artifact every roll.  Emitted once with the
+        # headline results (scaling from history) and again after the
+        # scaling phase, so a run killed mid-scaling still leaves a
+        # complete JSON line on stdout AND on disk.
+        result = {
+            "metric": "mg_build_merge_and_query_wall",
+            "value": round(sum(queries.values()), 4),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf_token) if sf_token.replace(".", "").isdigit() else sf_token,
+            "throughput_tokens_per_sec": meta["repo_tokens_per_sec"],
+            "preagg_throughput_tokens_per_sec": meta["preagg_tokens_per_sec"],
+            "scaling": scaling,
+        }
+        if partial:
+            result["partial"] = "headline-only; scaling phase still running"
+        path = os.path.join(REPO, "BENCH", "last_run.json")
+        with open(path + ".tmp", "w", encoding="utf8") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+        os.replace(path + ".tmp", path)
+        print(json.dumps(result), flush=True)
+
+    emit(_history_scaling(), partial=True)
+    scaling = run_scaling(scale_dir, repo_dir)
+    write_bench_md(queries, meta, scaling)
+    emit(scaling, partial=False)
 
 
 if __name__ == "__main__":
