@@ -1,0 +1,157 @@
+"""Wall-budget behavior of the bench harness (no Spark needed).
+
+The driver captures bench.py's stdout once per round; a run that
+overruns the capture window used to leave NO artifact.  These tests pin
+the degradation ladder: priority-ordered scaling pairs, history
+fallback for skipped/failed pairs, error trails instead of silence, and
+the schema-complete history-only scaling dict used by the partial emit.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import time
+
+import pytest
+
+import bench
+
+
+@pytest.fixture
+def history_file(tmp_path, monkeypatch):
+    """Point bench's BENCH/ artifacts at a temp dir with a seeded history."""
+    bdir = tmp_path / "BENCH"
+    bdir.mkdir()
+    history = {
+        "host_probe_best": {
+            "local8_sec": 1.0,
+            "local32_sec": 0.4,
+            "speedup": 2.5,
+            "efficiency": 0.625,
+            "max_steal_pct": 5.0,
+        },
+        "sketch_2v8": {
+            "local2_sec": 6.0,
+            "local8_sec": 2.0,
+            "tokens": 1000,
+            "local2_tokens_per_sec": 166,
+            "local8_tokens_per_sec": 500,
+            "efficiency": 0.75,
+            "best_pair_efficiency": 0.9,
+            "runs": 3,
+        },
+        "preagg_2v8": {
+            "local2_sec": 15.0,
+            "local8_sec": 4.0,
+            "tokens": 1000,
+            "local2_tokens_per_sec": 66,
+            "local8_tokens_per_sec": 250,
+            "efficiency": 0.93,
+            "best_pair_efficiency": 0.99,
+            "runs": 3,
+        },
+    }
+    (bdir / "scaling_history.json").write_text(json.dumps(history))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    return bdir / "scaling_history.json"
+
+
+def _fake_pair(low=2, high=8, sec_low=2.0, sec_high=1.0, tokens=1000):
+    return {
+        f"local{low}_sec": sec_low,
+        f"local{high}_sec": sec_high,
+        "tokens": tokens,
+        f"local{low}_tokens_per_sec": round(tokens / sec_low),
+        f"local{high}_tokens_per_sec": round(tokens / sec_high),
+        "efficiency": round(tokens / sec_high / (tokens / sec_low) / 4, 4),
+    }
+
+
+def test_history_scaling_is_schema_complete(history_file):
+    s = bench._history_scaling()
+    # Every key run_scaling's consumers touch must exist.
+    for key in (
+        "sketch_2v8",
+        "preagg_2v8",
+        "preagg_8v32",
+        "host_cpu_probe_8v32",
+        "host_cpu_probe_current",
+        "preagg_8v32_vs_host_ceiling",
+        "efficiency",
+        "current_run_efficiency",
+        "pairs_measured",
+        "pairs_from_history",
+        "pair_errors",
+    ):
+        assert key in s
+    assert s["efficiency"] == 0.99  # best_pair_efficiency wins
+    assert s["pairs_measured"] == []
+    assert set(s["pairs_from_history"]) == {"sketch_2v8", "preagg_2v8"}
+
+
+def test_history_scaling_empty_history(tmp_path, monkeypatch):
+    (tmp_path / "BENCH").mkdir()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    s = bench._history_scaling()
+    assert s["efficiency"] is None
+    assert s["pairs_from_history"] == []
+
+
+def test_run_scaling_skips_later_pairs_when_budget_spent(
+    history_file, monkeypatch
+):
+    calls = []
+
+    def fake_scale_pair(low, high, repo_dir, warm_dir, rounds=1,
+                        pre_aggregate=False, with_cpu_probe=False):
+        calls.append((low, high, pre_aggregate))
+        # Eat the whole remaining budget on the first (criterion) pair.
+        bench._BENCH_START -= 1000.0
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", time.perf_counter())
+    s = bench.run_scaling("scale", "warm")
+    # Criterion pair always runs; the rest fall back to history.
+    assert calls == [(2, 8, True)]
+    assert s["pairs_measured"] == ["preagg_2v8"]
+    assert set(s["pairs_from_history"]) == {"preagg_8v32", "sketch_2v8"}
+    # sketch_2v8 still reported — from the seeded history.
+    assert s["sketch_2v8"]["best_pair_efficiency"] == 0.9
+    assert s["pair_errors"] == {}
+
+
+def test_run_scaling_records_worker_timeout(history_file, monkeypatch):
+    def fake_scale_pair(low, high, *a, **k):
+        if (low, high) == (2, 8) and k.get("pre_aggregate"):
+            raise subprocess.TimeoutExpired(cmd="worker", timeout=330)
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", None)  # unlimited budget
+    s = bench.run_scaling("scale", "warm")
+    assert "preagg_2v8" in s["pairs_from_history"]
+    assert "timeout" in s["pair_errors"]["preagg_2v8"]
+    # The failed pair still reports its history point.
+    assert s["preagg_2v8"]["best_pair_efficiency"] == 0.99
+    # Later pairs were unaffected by the failure.
+    assert "sketch_2v8" in s["pairs_measured"]
+
+
+def test_write_bench_md_handles_missing_pairs(history_file):
+    queries = {"q_build_merge_repo_tokens": 5.0, "q_build_merge_preagg": 2.0}
+    meta = {
+        "repo_tokens_per_sec": 1_000_000,
+        "preagg_tokens_per_sec": 2_000_000,
+        "repo_tokens": 5_000_000,
+        "query_runs": {},
+        "query_best_observed": {},
+    }
+    scaling = bench._history_scaling()  # preagg_8v32 is absent entirely
+    bench.write_bench_md(queries, meta, scaling)
+    md = (history_file.parent / "BASELINE.md").read_text()
+    assert "no data" in md  # absent pair reported, not crashed
+    assert "best-observed history" in md
