@@ -515,10 +515,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return projected.mapInPandas(compute, schema)
 
 
-def _chunk_exprs(n_chunks: int) -> list:
-    """Columns extracting ``n_chunks`` contiguous disjoint chunks of the
-    64-bit ``simhash`` column; the first (64 % n_chunks) chunks are one
-    bit wider."""
+def _chunk_layout(n_chunks: int) -> tuple[list, list, list]:
+    """(widths, offsets, masks) of ``n_chunks`` contiguous disjoint
+    chunks of a 64-bit value; the first (64 % n_chunks) chunks are one
+    bit wider.  Masks are two's-complement longs (width 64 -> -1)."""
     if not 1 <= n_chunks <= 64:
         raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
     base, rem = divmod(64, n_chunks)
@@ -527,6 +527,13 @@ def _chunk_exprs(n_chunks: int) -> list:
     # width 64 (n_chunks=1): (1 << 64) - 1 overflows a JVM long; the
     # all-ones mask is just -1 in two's complement.
     masks = [-1 if w >= 64 else (1 << w) - 1 for w in widths]
+    return widths, offsets, masks
+
+
+def _chunk_exprs(n_chunks: int) -> list:
+    """Columns extracting ``n_chunks`` contiguous disjoint chunks of the
+    64-bit ``simhash`` column."""
+    _, offsets, masks = _chunk_layout(n_chunks)
     return [
         F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(F.lit(masks[i]))
         for i in range(n_chunks)
@@ -632,11 +639,37 @@ def simhash_near_pairs(
             ).alias("cc"),
         ).select("id", "simhash", "cc.chunk", "cc.ck")
 
-    buckets = (
+    from mgspark.cacheutil import transient_persist
+
+    buckets_all = transient_persist(
         chunks.groupBy("chunk", "ck")
         .agg(F.collect_list(F.struct("id", "simhash")).alias("members"))
-        .where((F.size("members") > 1) & (F.size("members") <= max_bucket))
+        .where(F.size("members") > 1)
     )
+    # Canonical emission needs the set of DROPPED (oversized) buckets:
+    # a pair is emitted from its first SURVIVING matching bucket, so the
+    # worker must know which earlier buckets did not survive.  The set
+    # is tiny by construction (only buckets past the cap — boilerplate
+    # chunk values); if a pathological corpus produces more than the
+    # collect guard, fall back to emit-from-every-bucket + distinct,
+    # which needs no global knowledge.
+    _DROPPED_GUARD = 100_000
+    oversized = (
+        buckets_all.where(F.size("members") > max_bucket)
+        .select("chunk", "ck")
+        .limit(_DROPPED_GUARD + 1)
+        .collect()
+    )
+    canonical = len(oversized) <= _DROPPED_GUARD
+    dropped: dict = {}
+    if canonical:
+        for row in oversized:
+            dropped.setdefault(row["chunk"], []).append(row["ck"])
+        dropped = {
+            c: np.sort(np.array(v, dtype=np.int64).astype(np.uint64))
+            for c, v in dropped.items()
+        }
+    buckets = buckets_all.where(F.size("members") <= max_bucket)
 
     id_type = fps.schema["id"].dataType
     pair_schema = StructType(
@@ -647,6 +680,25 @@ def simhash_near_pairs(
         ]
     )
     ham_cap = max_hamming
+    _, _offs, _masks = _chunk_layout(n_chunks)
+    offs_u = [np.uint64(o) for o in _offs]
+    masks_u = [np.uint64(np.int64(m)) for m in _masks]
+    # Buckets that could emit the same pair EARLIER than a given bucket,
+    # in bucket-id order: pair mode uses chunk-pair ids i*n+j (i<j),
+    # single mode plain chunk ids.
+    if use_pairs:
+        _all_cpids = [
+            (i, j, i * n_chunks + j)
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+        earlier = {
+            cp: [(i, j, c) for (i, j, c) in _all_cpids if c < cp]
+            for (_, _, cp) in _all_cpids
+        }
+    else:
+        earlier = {c: list(range(c)) for c in range(n_chunks)}
+    is_pair_index = use_pairs
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Vectorized in-bucket expansion: a bucket of B members has
@@ -654,13 +706,23 @@ def simhash_near_pairs(
         # do that in numpy instead of a Python nested loop (which was
         # the dominant cost on clustered corpora: tens of millions of
         # loop iterations), and the hamming filter runs HERE so only
-        # true pairs enter the cross-bucket distinct shuffle, not every
-        # candidate slot.  Expansion is ROW-BLOCKED (~8M slots per
-        # block) so a giant bucket under a permissive cap cannot
-        # materialize O(B^2) index arrays in one worker.
+        # true pairs survive the expansion.  Expansion is ROW-BLOCKED
+        # (~8M slots per block) so a giant bucket under a permissive cap
+        # cannot materialize O(B^2) index arrays in one worker.
+        #
+        # CANONICAL emission (the default): a true pair matches in up to
+        # C(n_chunks, 2) buckets — on clustered corpora that emitted
+        # every pair ~45x and paid a corpus-scale distinct shuffle to
+        # dedupe.  Instead each slot checks, from the two fingerprints
+        # alone, every bucket that precedes the current one in bucket-id
+        # order: if an earlier matching bucket SURVIVED the cap (not in
+        # the broadcast dropped set), that bucket owns the pair and this
+        # one stays silent.  Exactly one surviving bucket emits each
+        # pair, the released set is identical to the emit-everywhere
+        # path, and the distinct goes away entirely.
         for pdf in batches:
             out = []
-            for members in pdf["members"]:
+            for members, cur_bucket in zip(pdf["members"], pdf["chunk"]):
                 if len(members) < 2:
                     continue
                 raw_ids = np.array([mm["id"] for mm in members])
@@ -675,6 +737,7 @@ def simhash_near_pairs(
                 m = len(ids)
                 if m < 2:
                     continue
+                prior = earlier[cur_bucket] if canonical else ()
                 blk = max(1, 8_000_000 // m)
                 for i0 in range(0, m - 1, blk):
                     i1 = min(i0 + blk, m - 1)
@@ -685,20 +748,54 @@ def simhash_near_pairs(
                     jj = np.concatenate([np.arange(i + 1, m) for i in rows])
                     ham = _popcount64(shs[ii] ^ shs[jj])
                     keep = ham <= ham_cap
-                    if keep.any():
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "id_a": ids[ii[keep]],
-                                    "id_b": ids[jj[keep]],
-                                    "hamming": ham[keep],
-                                }
-                            )
+                    if not keep.any():
+                        continue
+                    ii, jj, ham = ii[keep], jj[keep], ham[keep]
+                    if prior:
+                        xor = (shs[ii] ^ shs[jj]).astype(np.uint64)
+                        sh_any = shs[ii].astype(np.uint64)
+                        alive = np.ones(len(xor), dtype=bool)
+                        if is_pair_index:
+                            for ci, cj, cp in prior:
+                                match = (
+                                    ((xor >> offs_u[ci]) & masks_u[ci] == 0)
+                                    & ((xor >> offs_u[cj]) & masks_u[cj] == 0)
+                                )
+                                if cp in dropped and match.any():
+                                    key = (
+                                        ((sh_any >> offs_u[ci]) & masks_u[ci])
+                                        << np.uint64(32)
+                                    ) | ((sh_any >> offs_u[cj]) & masks_u[cj])
+                                    match &= ~np.isin(key, dropped[cp])
+                                alive &= ~match
+                                if not alive.any():
+                                    break
+                        else:
+                            for c in prior:
+                                match = (xor >> offs_u[c]) & masks_u[c] == 0
+                                if c in dropped and match.any():
+                                    key = (sh_any >> offs_u[c]) & masks_u[c]
+                                    match &= ~np.isin(key, dropped[c])
+                                alive &= ~match
+                                if not alive.any():
+                                    break
+                        if not alive.any():
+                            continue
+                        ii, jj, ham = ii[alive], jj[alive], ham[alive]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[ii],
+                                "id_b": ids[jj],
+                                "hamming": ham,
+                            }
                         )
+                    )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return buckets.mapInPandas(pairs, pair_schema).distinct()
+    released = buckets.select("chunk", "members").mapInPandas(pairs, pair_schema)
+    return released if canonical else released.distinct()
 
 
 def _union_find_local(edges: DataFrame) -> DataFrame:
