@@ -439,6 +439,15 @@ def minhash_dedup_pairs(
     the dominant cost and must run once, not three times.  At 100 TB the
     persisted signatures are num_hashes*8 bytes/doc, orders of magnitude
     smaller than the text.
+
+    Deliberately NOT the canonical-bucket fused plan that
+    :func:`simhash_near_pairs` uses: canonical emission requires both
+    members' full signatures inside every band bucket, and carrying
+    num_hashes*8 bytes through all ~25 band rows multiplies the bucket
+    shuffle ~60x (vs the 8-byte band hash).  Measured same-window A/B at
+    sf0.1: fused 7.9-17.4 s vs this plan's 4.8-9.0 s — the distinct +
+    two hash joins are cheaper than the fattened shuffle.  The trick
+    pays only when the per-member payload is tiny (SimHash: one int64).
     """
     from mgspark.cacheutil import transient_persist
 
