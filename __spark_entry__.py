@@ -1280,6 +1280,13 @@ _BMP_PARQUET = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".fixtures", "bmp_assets_v2.parquet"
 )
 
+# Real-PNG fixture with encode-time truth columns (zlib output is not
+# hex-parsable in SQL, so the DuckDB oracle reads the truth columns —
+# equality proves a compress->decode round trip through all 5 filters).
+_PNG_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v1.parquet"
+)
+
 # Clustered embedding fixture for the LSH near-dup recall invariant (the
 # sf embeddings are near-random, so near-dup recall needs planted pairs).
 _CLUSTERED_EMB_PARQUET = os.path.join(
@@ -1288,10 +1295,15 @@ _CLUSTERED_EMB_PARQUET = os.path.join(
 
 
 def _ensure_assets_fixture() -> str:
-    from mgspark.pipeline.multimodal import write_assets_parquet, write_bmp_assets_parquet
+    from mgspark.pipeline.multimodal import (
+        write_assets_parquet,
+        write_bmp_assets_parquet,
+        write_png_assets_parquet,
+    )
     from mgspark.testgen import write_clustered_embeddings_parquet
 
     write_bmp_assets_parquet(_BMP_PARQUET)
+    write_png_assets_parquet(_PNG_PARQUET)
     write_clustered_embeddings_parquet(_CLUSTERED_EMB_PARQUET)
     return write_assets_parquet(_ASSETS_PARQUET)
 
@@ -1353,6 +1365,28 @@ def q_decode_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = spark.read.parquet(_BMP_PARQUET)
     dec = decode_image(assets)
+    return dec.select(
+        "asset_id",
+        "width",
+        "height",
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "px_sum"
+        ),
+    )
+
+
+def q_decode_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode: stdlib-zlib inflate + the five standard scanline
+    filters (None/Sub/Up/Average/Paeth) over a binary image table with
+    gray/RGB/RGBA payloads; emits per-image (width, height, pixel sum).
+    The oracle reads truth columns written at ENCODE time from the
+    pre-compression pixel array (zlib bytes are not hex-parsable in
+    SQL), so a hash match proves the compress->decode round trip —
+    every filter type, all three color types."""
+    from mgspark.pipeline.multimodal import decode_image
+
+    assets = spark.read.parquet(_PNG_PARQUET)
+    dec = decode_image(assets.select("asset_id", "payload"))
     return dec.select(
         "asset_id",
         "width",
@@ -1800,7 +1834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_distinct_user_id": q_streaming_hll_distinct_user_id,
         # --- one representative per operator family ---
         "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
-        "mg_sketch_doc_tokens_k8": q_mg_sketch_doc_tokens_k8,
         "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
         # pipeline: dedup / similarity / text analysis
@@ -1820,6 +1853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
         # multimodal (binary asset columns)
         "decode_image_pixel_stats": q_decode_image_pixel_stats,
+        # new r4: real PNG decode (zlib + scanline filters), encode-time
+        # truth-column oracle; replaces the rows-only mg_sketch_doc_tokens_k8
+        # in-window (its oracle-checked bound companion sits at
+        # mg_sketch_bound_doc_tokens above)
+        "decode_png_pixel_stats": q_decode_png_pixel_stats,
         # sketch families
         "bloom_orders_custkey": q_bloom_orders_custkey,
         # --------- position 51+: long-stable redundant variants ---------
@@ -1861,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_mktsegment": _mg_topk_query("customer", "c_mktsegment", 10),
         "mg_topk_event_type": _mg_topk_query("events", "event_type", 10),
         "mg_topk_doc_tokens_exact": q_mg_topk_doc_tokens_exact,
+        # rows-only; bound companion mg_sketch_bound_doc_tokens in-window
+        "mg_sketch_doc_tokens_k8": q_mg_sketch_doc_tokens_k8,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1940,6 +1980,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
+        "decode_png_pixel_stats": (
+            # truth columns computed from the pre-compression pixel
+            # array at fixture-encode time (zlib output cannot be
+            # re-parsed in SQL); matching them proves the Spark-side
+            # inflate + unfilter round trip
+            "SELECT asset_id, true_width AS width, true_height AS height, "
+            f"true_px_sum AS px_sum FROM read_parquet('{_PNG_PARQUET}')"
         ),
         "resize_image_pixel_stats": (
             f"WITH hx AS (SELECT asset_id, hex(payload) AS h "

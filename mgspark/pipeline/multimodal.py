@@ -5,16 +5,20 @@ Everything Spark-side is real and tested — schemas, Arrow batch shape,
 partitioning, the mapInPandas signatures — against two deterministic
 asset tables: the synthetic ``MGB1`` container format (magic + kind +
 width/height/duration header + payload, ``synth_assets``) for the
-metadata/feature stages, and REAL uncompressed 24-bit BMP files
-(``write_bmp_assets_parquet``) for the decode stage, which
-``decode_image`` decodes codec-free in pure numpy.  Formats that need a
-codec library this container does not ship (PNG/JPEG/audio/video
-decode) raise ``NotImplementedError`` with the dependency named.
+metadata/feature stages, and REAL image files for the decode stage:
+uncompressed 24-bit BMP (``write_bmp_assets_parquet``) and PNG
+(``write_png_assets_parquet``) — both decoded codec-free, BMP in pure
+numpy and PNG via stdlib ``zlib`` + the five standard scanline filters
+(None/Sub/Up/Average/Paeth, gray/RGB/RGBA at bit depth 8).  Formats
+that genuinely need a codec library this container does not ship
+(JPEG, audio/video codecs, interlaced or sub-byte PNG) raise
+``NotImplementedError`` with the dependency named.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -36,6 +40,8 @@ __all__ = [
     "write_assets_parquet",
     "synth_bmp_bytes",
     "write_bmp_assets_parquet",
+    "synth_png_bytes",
+    "write_png_assets_parquet",
     "extract_asset_meta",
     "byte_histogram_features",
     "decode_image",
@@ -246,6 +252,227 @@ def write_bmp_assets_parquet(path: str, n: int = 64, seed: int = 43) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# PNG: real codec-free decode via stdlib zlib (RFC 2083).  Supported:
+# bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA, alpha dropped),
+# non-interlaced.  Interlaced/sub-byte/paletted payloads raise
+# NotImplementedError — those are rare in training corpora and would
+# need a real codec dependency to validate against.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    n = len(raw)
+    left = np.zeros(n, np.int32)
+    left[bpp:] = raw[:-bpp]
+    up = prior.astype(np.int32)
+    raw32 = raw.astype(np.int32)
+    if ftype == 0:
+        out = raw32
+    elif ftype == 1:
+        out = raw32 - left
+    elif ftype == 2:
+        out = raw32 - up
+    elif ftype == 3:
+        out = raw32 - (left + up) // 2
+    else:  # Paeth
+        ul = np.zeros(n, np.int32)
+        ul[bpp:] = prior[:-bpp]
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        out = raw32 - pred
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(
+    ftype: int, filt: bytearray, prior: bytearray, bpp: int
+) -> bytearray:
+    """Reconstruct one scanline in place (decode side).  Sub/Average/
+    Paeth have a sequential data dependency along x, so those loop;
+    None and Up are whole-row vectorized."""
+    n = len(filt)
+    if ftype == 0:
+        return filt
+    if ftype == 2:
+        np_row = np.frombuffer(bytes(filt), np.uint8).astype(np.int32)
+        np_prior = np.frombuffer(bytes(prior), np.uint8).astype(np.int32)
+        return bytearray(((np_row + np_prior) % 256).astype(np.uint8).tobytes())
+    if ftype == 1:
+        for i in range(n):
+            left = filt[i - bpp] if i >= bpp else 0
+            filt[i] = (filt[i] + left) & 0xFF
+        return filt
+    if ftype == 3:
+        for i in range(n):
+            left = filt[i - bpp] if i >= bpp else 0
+            filt[i] = (filt[i] + (left + prior[i]) // 2) & 0xFF
+        return filt
+    if ftype == 4:
+        for i in range(n):
+            a = filt[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (filt[i] + pred) & 0xFF
+        return filt
+    raise NotImplementedError(f"decode_image: unknown PNG filter type {ftype}")
+
+
+def synth_png_bytes(
+    width: int,
+    height: int,
+    rng: np.random.Generator,
+    color_type: int = 2,
+) -> tuple[bytes, np.ndarray]:
+    """One real 8-bit PNG with random pixels; per-row filter types cycle
+    0..4 so every standard scanline filter is exercised on decode.
+
+    Returns (file bytes, pixels) where ``pixels`` is the decoded truth
+    as (height, width, 3) uint8 RGB — gray replicated across channels,
+    RGBA with the alpha channel dropped (matching :func:`_decode_png`).
+    """
+    channels = _PNG_CHANNELS[color_type]
+    samples = rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    raw_rows = samples.reshape(height, width * channels)
+    stream = bytearray()
+    prior = np.zeros(width * channels, np.uint8)
+    for r in range(height):
+        ftype = r % 5
+        stream.append(ftype)
+        stream.extend(_png_filter_row(ftype, raw_rows[r], prior, channels).tobytes())
+        prior = raw_rows[r]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    if color_type == 0:
+        pixels = np.repeat(samples, 3, axis=2)
+    elif color_type == 6:
+        pixels = samples[:, :, :3].copy()
+    else:
+        pixels = samples
+    return blob, pixels
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes -> (height, width, 3) uint8 RGB.
+
+    Pure stdlib: chunk walk, zlib inflate, the five standard scanline
+    filters.  Gray is replicated to 3 channels; RGBA drops alpha.
+    Paletted / sub-byte / 16-bit / interlaced payloads raise
+    NotImplementedError (they need a codec library to validate against).
+    """
+    pos = len(_PNG_MAGIC)
+    width = height = color_type = -1
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"decode_image: PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace} needs a codec library (Pillow); "
+                    "only 8-bit gray/RGB/RGBA non-interlaced decodes codec-free"
+                )
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise NotImplementedError("decode_image: PNG missing IHDR chunk")
+    channels = _PNG_CHANNELS[color_type]
+    stream = zlib.decompress(bytes(idat))
+    row_bytes = width * channels
+    if len(stream) != height * (1 + row_bytes):
+        raise NotImplementedError(
+            "decode_image: PNG scanline stream length mismatch "
+            f"({len(stream)} != {height * (1 + row_bytes)})"
+        )
+    out = np.empty((height, row_bytes), np.uint8)
+    prior = bytearray(row_bytes)
+    for r in range(height):
+        off = r * (1 + row_bytes)
+        ftype = stream[off]
+        row = bytearray(stream[off + 1 : off + 1 + row_bytes])
+        prior = _png_unfilter_row(ftype, row, prior, channels)
+        out[r] = np.frombuffer(bytes(prior), np.uint8)
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 6:
+        return px[:, :, :3].copy()
+    return px
+
+
+def write_png_assets_parquet(path: str, n: int = 64, seed: int = 47) -> str:
+    """Deterministic real-PNG asset table — (asset_id, payload) plus
+    encode-time truth columns (true_width, true_height, true_px_sum)
+    computed from the pre-compression pixel array.  zlib output is not
+    hex-parsable in SQL, so the DuckDB oracle reads the truth columns:
+    equality proves a real compress->decode round trip through every
+    scanline filter.  Color types rotate gray/RGB/RGBA."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    blobs, widths, heights, sums = [], [], [], []
+    for i in range(n):
+        width = int(rng.integers(5, 33))
+        height = int(rng.integers(6, 25))  # >= 6 rows: all 5 filters fire
+        color_type = (0, 2, 6)[i % 3]
+        blob, pixels = synth_png_bytes(width, height, rng, color_type)
+        blobs.append(blob)
+        widths.append(pixels.shape[1])
+        heights.append(pixels.shape[0])
+        sums.append(int(pixels.astype(np.int64).sum()))
+    table = pa.table(
+        {
+            "asset_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+            "true_width": pa.array(widths, pa.int64()),
+            "true_height": pa.array(heights, pa.int64()),
+            "true_px_sum": pa.array(sums, pa.int64()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -259,22 +486,22 @@ _DECODE_SCHEMA = StructType(
 def decode_image(df: DataFrame) -> DataFrame:
     """Decode image payloads to pixel arrays — REAL for uncompressed
     24-bit BMP (pure numpy: header parse, stride/padding removal,
-    bottom-up flip, BGR->RGB), since that container format needs no
-    codec library.  Output rows: (asset_id, width, height, pixels) with
-    ``pixels`` the flattened RGB values in top-down row-major order.
+    bottom-up flip, BGR->RGB) and 8-bit PNG (stdlib zlib inflate + the
+    five standard scanline filters), dispatched on the file magic.
+    Output rows: (asset_id, width, height, pixels) with ``pixels`` the
+    flattened RGB values in top-down row-major order.
 
-    Other formats (PNG/JPEG/...) require a codec this container does not
-    ship: payloads that are not 24-bit uncompressed BMPs raise
-    ``NotImplementedError`` (swap in ``PIL.Image.open`` on codec-enabled
-    builds; the Spark plumbing — schema, batching, Arrow shape — is the
-    same either way).
+    Formats that need a codec this container does not ship (JPEG,
+    paletted/interlaced PNG, ...) raise ``NotImplementedError`` (swap in
+    ``PIL.Image.open`` on codec-enabled builds; the Spark plumbing —
+    schema, batching, Arrow shape — is the same either way).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widths, heights, pixel_lists = [], [], [], []
             for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
-                rgb = _decode_bmp(bytes(blob))
+                rgb = _decode_image_bytes(bytes(blob))
                 ids.append(int(asset_id))
                 widths.append(rgb.shape[1])
                 heights.append(rgb.shape[0])
@@ -291,16 +518,24 @@ def decode_image(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(decode, _DECODE_SCHEMA)
 
 
+def _decode_image_bytes(b: bytes) -> np.ndarray:
+    """Magic-dispatched decode: BMP and PNG are real; anything else
+    names the missing codec."""
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _decode_png(b)
+    raise NotImplementedError(
+        "decode_image: only uncompressed 24-bit BMP and 8-bit "
+        "non-interlaced PNG decode codec-free; this payload needs an "
+        "image codec (Pillow) absent from this container"
+    )
+
+
 def _decode_bmp(b: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP bytes -> (height, width, 3) uint8 RGB,
     top-down row order.  Raises NotImplementedError for payloads that
     would need a codec library."""
-    if b[:2] != b"BM":
-        raise NotImplementedError(
-            "decode_image: only uncompressed 24-bit BMP decodes codec-free; "
-            "this payload needs an image codec (Pillow) absent from this "
-            "container"
-        )
     offset = int.from_bytes(b[10:14], "little")
     width = int.from_bytes(b[18:22], "little", signed=True)
     height = int.from_bytes(b[22:26], "little", signed=True)
@@ -323,7 +558,7 @@ def _decode_bmp(b: bytes) -> np.ndarray:
 def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Decode + nearest-neighbor resize to (out_h, out_w) in one pass
     over the payload bytes — the resize stage of a media pipeline, real
-    (pure numpy) for BMP payloads.  Source pixel for output (i, j) is
+    (pure numpy) for BMP and PNG payloads.  Source pixel for output (i, j) is
     (floor(i*h/out_h), floor(j*w/out_w)) — exact integer math, so the
     result is deterministic and cross-engine oracle-able.  Output rows:
     (asset_id, width, height, pixels), RGB top-down row-major.
@@ -334,7 +569,7 @@ def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             ids, pixel_lists = [], []
             for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
-                rgb = _decode_bmp(bytes(blob))
+                rgb = _decode_image_bytes(bytes(blob))
                 h, w = rgb.shape[:2]
                 rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cols = (np.arange(out_w, dtype=np.int64) * w) // out_w

@@ -567,6 +567,83 @@ def test_decode_image_bmp_roundtrip(spark):
         assert r["pixels"] == pixels.reshape(-1).astype(int).tolist()
 
 
+def test_decode_image_png_roundtrip(spark):
+    """decode_image really inflates PNG: encode known pixels (per-row
+    filters cycling None/Sub/Up/Average/Paeth; gray, RGB, and RGBA color
+    types), decode through Spark, require exact pixel equality."""
+    import numpy as np
+
+    from mgspark.pipeline.multimodal import synth_png_bytes
+
+    rng = np.random.default_rng(31)
+    truth = {}
+    rows = []
+    cases = [(0, 8, 7), (2, 13, 6), (2, 1, 1), (6, 9, 11), (0, 32, 5), (6, 5, 10)]
+    for asset_id, (ct, w, h) in enumerate(cases):
+        blob, pixels = synth_png_bytes(w, h, rng, ct)
+        truth[asset_id] = pixels
+        rows.append((asset_id, bytearray(blob)))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_image(df).collect()}
+    assert set(got) == set(truth)
+    for asset_id, pixels in truth.items():
+        r = got[asset_id]
+        assert (r["width"], r["height"]) == (pixels.shape[1], pixels.shape[0])
+        assert r["pixels"] == pixels.reshape(-1).astype(int).tolist()
+
+
+def test_decode_image_png_unsupported_raises():
+    """Interlaced / 16-bit / paletted PNGs and non-PNG magics raise
+    NotImplementedError naming the missing codec, never mis-decode."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mgspark.pipeline.multimodal import (
+        _decode_image_bytes,
+        _decode_png,
+        _png_chunk,
+        _PNG_MAGIC,
+        synth_png_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    blob, _ = synth_png_bytes(4, 4, rng, 2)
+    # flip fields inside IHDR (starts at byte 16: 8 magic + 8 len/tag)
+    for patch_off, val in [(24, 16), (25, 3), (28, 1)]:  # depth, palette, interlace
+        bad = bytearray(blob)
+        bad[patch_off] = val
+        # recompute IHDR CRC so only the unsupported feature is at fault
+        ihdr = bytes(bad[16:29])
+        import zlib as _z
+
+        bad[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        with pytest.raises(NotImplementedError):
+            _decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(NotImplementedError):
+        _decode_png(_PNG_MAGIC + _png_chunk(b"IEND", b""))  # missing IHDR
+
+
+def test_resize_image_png_matches_numpy_truth(spark):
+    """resize_image dispatches on magic: PNG payloads resize to the same
+    nearest-neighbor ground truth as BMP ones."""
+    import numpy as np
+
+    from mgspark.pipeline.multimodal import resize_image, synth_png_bytes
+
+    rng = np.random.default_rng(23)
+    blob, pixels = synth_png_bytes(14, 9, rng, 2)
+    df = spark.createDataFrame([(0, bytearray(blob))], "asset_id long, payload binary")
+    out_w, out_h = 6, 6
+    r = resize_image(df, out_w, out_h).collect()[0]
+    ri = (np.arange(out_h) * 9) // out_h
+    ci = (np.arange(out_w) * 14) // out_w
+    assert r["pixels"] == pixels[ri[:, None], ci[None, :]].reshape(-1).astype(int).tolist()
+
+
 def test_resize_image_nearest_neighbor_truth(spark):
     """resize_image must equal the numpy nearest-neighbor ground truth
     (exact integer index math) on known pixels, both down- and up-scale."""
