@@ -1287,6 +1287,13 @@ _PNG_PARQUET = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v1.parquet"
 )
 
+# Integer-valued well-separated cluster fixture for the distributed
+# k-means contract row (margins dwarf cross-engine float-sum ulp noise,
+# so the (id, cluster) output hash-matches the unrolled SQL oracle).
+_KMEANS_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "kmeans_embeddings_v1.parquet"
+)
+
 # Clustered embedding fixture for the LSH near-dup recall invariant (the
 # sf embeddings are near-random, so near-dup recall needs planted pairs).
 _CLUSTERED_EMB_PARQUET = os.path.join(
@@ -1302,8 +1309,11 @@ def _ensure_assets_fixture() -> str:
     )
     from mgspark.testgen import write_clustered_embeddings_parquet
 
+    from mgspark.pipeline.clustering import write_kmeans_embeddings_parquet
+
     write_bmp_assets_parquet(_BMP_PARQUET)
     write_png_assets_parquet(_PNG_PARQUET)
+    write_kmeans_embeddings_parquet(_KMEANS_PARQUET)
     write_clustered_embeddings_parquet(_CLUSTERED_EMB_PARQUET)
     return write_assets_parquet(_ASSETS_PARQUET)
 
@@ -1372,6 +1382,74 @@ def q_decode_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("pixels", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "px_sum"
         ),
+    )
+
+
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED = 4, 3, 7
+
+
+def q_kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully DISTRIBUTED k-means (Lloyd): assignment as a pure-JVM
+    codegen expression, centroid update as a combiner-aggregated
+    k-row shuffle — the full-data complement to SemDeDup's sample-trained
+    coarse centroids (pipeline/clustering.py).  Deterministic end to end
+    (Knuth-hash init, fixed iterations, lowest-index tie-break), so the
+    DuckDB oracle re-runs the IDENTICAL unrolled iterations in SQL and
+    the (id, cluster) output hash-matches bit-for-bit."""
+    from mgspark.pipeline.clustering import kmeans_clusters
+
+    df = spark.read.parquet(_KMEANS_PARQUET)
+    return kmeans_clusters(
+        df,
+        "embedding",
+        "vec_id",
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+        seed=_KMEANS_SEED,
+    )
+
+
+def _kmeans_oracle_sql(path: str, k: int, iterations: int, seed: int) -> str:
+    """Unrolled Lloyd in pure SQL: the same init, per-iteration argmin
+    assignment (ties -> lowest cluster), per-(cluster, dim) AVG update
+    with empty clusters retaining the previous centroid, and a final
+    assignment against the final centroids."""
+    knuth, mod = 2654435761, 4294967296
+    hash_order = f"((id + {seed}) * {knuth}) % {mod}, id"
+    ctes = [
+        f"v AS (SELECT vec_id AS id, embedding AS vec FROM read_parquet('{path}'))",
+        "e AS (SELECT id, generate_subscripts(vec, 1) AS pos, "
+        "unnest(vec)::DOUBLE AS val FROM v)",
+        f"init AS (SELECT id, row_number() OVER (ORDER BY {hash_order}) - 1 "
+        f"AS cluster FROM v ORDER BY {hash_order} LIMIT {k})",
+        "c0 AS (SELECT i.cluster, e.pos, e.val FROM init i JOIN e ON e.id = i.id)",
+    ]
+    for t in range(iterations + 1):  # last round = final assignment only
+        ctes.append(
+            f"d{t} AS (SELECT e.id, c.cluster, "
+            "SUM((e.val - c.val) * (e.val - c.val)) AS d2 "
+            f"FROM e JOIN c{t} c ON e.pos = c.pos GROUP BY e.id, c.cluster)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT id, cluster FROM (SELECT id, cluster, "
+            "row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn "
+            f"FROM d{t}) WHERE rn = 1)"
+        )
+        if t == iterations:
+            break
+        ctes.append(
+            f"m{t} AS (SELECT a.cluster, e.pos, AVG(e.val) AS val "
+            f"FROM a{t} a JOIN e ON e.id = a.id GROUP BY a.cluster, e.pos)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT p.cluster, p.pos, COALESCE(m.val, p.val) AS val "
+            f"FROM c{t} p LEFT JOIN m{t} m ON m.cluster = p.cluster "
+            "AND m.pos = p.pos)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT id, cluster::BIGINT AS cluster FROM a{iterations}"
     )
 
 
@@ -1841,8 +1919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "lang_id": q_lang_id,
         "curate_documents": q_curate_documents,
+        # new r4: fully distributed k-means (Lloyd unrolled in the SQL
+        # oracle); replaces lang_id in-window (bpe_token_stats +
+        # tfidf_top_terms keep the textstats family represented; lang_id
+        # was green r1-r3 and its module is unchanged)
+        "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         # temporal operators
         "session_stats_events": q_session_stats_events,
         "asof_join_orders": q_asof_join_orders,
@@ -1892,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "curate_neardup_invariant": q_curate_neardup_invariant,
         "hash_sample_docs": q_hash_sample_docs,
+        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "mg_topk_returnflag": _mg_topk_query("lineitem", "l_returnflag", 10),
@@ -1980,6 +2063,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
+        "kmeans_clusters_embeddings": _kmeans_oracle_sql(
+            _KMEANS_PARQUET, _KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED
         ),
         "decode_png_pixel_stats": (
             # truth columns computed from the pre-compression pixel
