@@ -187,7 +187,9 @@ HEADLINE_QUERIES = [
     "profile_events",
     "asset_meta",
     "decode_image_pixel_stats",
+    "decode_png_pixel_stats",
     "pcm_waveform_stats",
+    "kmeans_clusters_embeddings",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
