@@ -1385,6 +1385,43 @@ def q_decode_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-line corpus with planted boilerplate (global header, per-source
+# footers, a nav line) for the line-level dedup contract rows.
+_MULTILINE_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "multiline_docs_v1.parquet"
+)
+
+_BOILER_MAX_DF = 2
+
+
+def q_boilerplate_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot set of a CCNet-style line-dedup pass: lines occurring in
+    more than max_doc_freq distinct documents (pipeline/boilerplate.py).
+    Small by construction — the broadcastable blacklist."""
+    from mgspark.pipeline.boilerplate import boilerplate_lines, write_multiline_docs_parquet
+
+    write_multiline_docs_parquet(_MULTILINE_PARQUET)
+    docs = spark.read.parquet(_MULTILINE_PARQUET)
+    return boilerplate_lines(docs, "text", "doc_id", max_doc_freq=_BOILER_MAX_DF)
+
+
+def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (boilerplate removal): strip every
+    line above the document-frequency threshold, keep the rest in
+    original order — one explode scan, a combiner countDistinct, a
+    broadcast anti-join against the hot set, one order-restoring
+    reassembly groupBy.  All JVM built-ins; the DuckDB oracle replays
+    the identical pipeline."""
+    from mgspark.pipeline.boilerplate import (
+        remove_boilerplate_lines,
+        write_multiline_docs_parquet,
+    )
+
+    write_multiline_docs_parquet(_MULTILINE_PARQUET)
+    docs = spark.read.parquet(_MULTILINE_PARQUET)
+    return remove_boilerplate_lines(docs, "text", "doc_id", max_doc_freq=_BOILER_MAX_DF)
+
+
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED = 4, 3, 7
 
 
@@ -1910,13 +1947,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_event_counts": q_streaming_windowed_event_counts,
         "streaming_mg_event_type": q_streaming_mg_event_type,
         "streaming_hll_distinct_user_id": q_streaming_hll_distinct_user_id,
+        # new r4: cross-document line dedup (CCNet-style boilerplate
+        # removal) — hot-set report + order-preserving removal
+        "boilerplate_lines_report": q_boilerplate_lines_report,
+        "remove_boilerplate_lines": q_remove_boilerplate_lines,
         # --- one representative per operator family ---
-        "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
+        # (mg_topk_user_id and bpe_token_stats rotate to the tail this
+        # round: both green r1-r3, their code paths carried in-window by
+        # five sibling mg_topk variants / tfidf_top_terms respectively)
         "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
         # pipeline: dedup / similarity / text analysis
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
-        "bpe_token_stats": q_bpe_token_stats,
         "profile_events": q_profile_events,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_documents": q_curate_documents,
@@ -1974,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_image_pixel_stats": q_resize_image_pixel_stats,
         "curate_neardup_invariant": q_curate_neardup_invariant,
         "hash_sample_docs": q_hash_sample_docs,
+        "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
+        "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -2063,6 +2107,28 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
+        "boilerplate_lines_report": (
+            f"WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            f"FROM read_parquet('{_MULTILINE_PARQUET}')) "
+            "SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS doc_freq "
+            f"FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > {_BOILER_MAX_DF}"
+        ),
+        "remove_boilerplate_lines": (
+            f"WITH src AS (SELECT doc_id, text FROM read_parquet('{_MULTILINE_PARQUET}')), "
+            "lines AS (SELECT doc_id, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS pos, "
+            "unnest(string_split(text, chr(10))) AS line FROM src), "
+            "hot AS (SELECT line FROM lines GROUP BY line "
+            f"HAVING COUNT(DISTINCT doc_id) > {_BOILER_MAX_DF}), "
+            "kept AS (SELECT l.* FROM lines l WHERE l.line NOT IN (SELECT line FROM hot)), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
+            "COUNT(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id) "
+            "SELECT t.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text, "
+            "COALESCE(a.n_kept, 0)::BIGINT AS n_kept, "
+            "(t.n_total - COALESCE(a.n_kept, 0))::BIGINT AS n_removed "
+            "FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id"
         ),
         "kmeans_clusters_embeddings": _kmeans_oracle_sql(
             _KMEANS_PARQUET, _KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED
