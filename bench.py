@@ -190,6 +190,7 @@ HEADLINE_QUERIES = [
     "decode_png_pixel_stats",
     "pcm_waveform_stats",
     "kmeans_clusters_embeddings",
+    "remove_boilerplate_lines",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
