@@ -1422,6 +1422,63 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(docs, "text", "doc_id", max_doc_freq=_BOILER_MAX_DF)
 
 
+_BPE_MERGES, _BPE_TOP_WORDS = 30, 10_000
+
+
+def q_bpe_word_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized half of BPE training: one combiner word-count
+    scan, top 50 by (cnt desc, word) — the deterministic vocabulary
+    head the merge loop consumes (pipeline/bpe.py)."""
+    from mgspark.pipeline.bpe import word_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        word_counts(docs, "text")
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(50)
+        .select("word", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, left, right) — deterministic
+    (count-desc / lexicographic tie-break) but the merge loop is
+    iterative string rewriting, not SQL-expressible; correctness is
+    pinned by tests/test_bpe.py's independent regex-based sequential
+    reference (Sennrich arXiv:1508.07909)."""
+    from mgspark.pipeline.bpe import bpe_train
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES, max_vocab_words=_BPE_TOP_WORDS)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def q_bpe_roundtrip_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed encode check: every distinct corpus word, encoded
+    with the trained merges, must reconstruct exactly (concat(tokens)
+    == word + the end marker) with 1 <= n_tokens <= len(word)+1.  The
+    flags are computed as distributed aggregates (nothing collected);
+    the oracle just counts distinct words."""
+    from mgspark.pipeline.bpe import END_OF_WORD, bpe_encode_words, bpe_train, word_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES, max_vocab_words=_BPE_TOP_WORDS)
+    words = word_counts(docs, "text").select("word")
+    enc = bpe_encode_words(words, "word", merges)
+    ok = (
+        (F.concat_ws("", "tokens") == F.concat("word", F.lit(END_OF_WORD)))
+        & (F.col("n_tokens") >= 1)
+        & (F.col("n_tokens") <= F.length("word") + 1)
+    ).cast("long")
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(ok).alias("n_roundtrip_ok"),
+    )
+
+
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_SEED = 4, 3, 7
 
 
@@ -1951,16 +2008,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # removal) — hot-set report + order-preserving removal
         "boilerplate_lines_report": q_boilerplate_lines_report,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
+        # new r4: BPE tokenizer training (word-count scan -> bounded
+        # driver merge loop -> broadcast distributed encode)
+        "bpe_word_counts_top": q_bpe_word_counts_top,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_roundtrip_invariant": q_bpe_roundtrip_invariant,
         # --- one representative per operator family ---
         # (mg_topk_user_id and bpe_token_stats rotate to the tail this
         # round: both green r1-r3, their code paths carried in-window by
         # five sibling mg_topk variants / tfidf_top_terms respectively)
-        "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
+        # (mg_grouped_lang_by_source, profile_events, tfidf_top_terms
+        # also rotate to the tail for the BPE rows: green r2/r3,
+        # modules untouched this round)
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
         # pipeline: dedup / similarity / text analysis
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
-        "profile_events": q_profile_events,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "curate_documents": q_curate_documents,
         # new r4: fully distributed k-means (Lloyd unrolled in the SQL
         # oracle); replaces lang_id in-window (bpe_token_stats +
@@ -2017,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_neardup_invariant": q_curate_neardup_invariant,
         "hash_sample_docs": q_hash_sample_docs,
         "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
+        "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
+        "profile_events": q_profile_events,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2107,6 +2172,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
+        "bpe_word_counts_top": (
+            "WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word "
+            "FROM documents) "
+            "SELECT word, COUNT(*)::BIGINT AS cnt FROM w WHERE word <> '' "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 50"
+        ),
+        "bpe_roundtrip_invariant": (
+            # the invariant itself (reconstruction + token-count bounds)
+            # is computed Spark-side as distributed aggregates; the
+            # oracle pins the universe: every distinct word checked, all
+            # of them round-tripping
+            "WITH w AS (SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS word "
+            "FROM documents) "
+            "SELECT COUNT(*)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_roundtrip_ok "
+            "FROM w WHERE word <> ''"
         ),
         "boilerplate_lines_report": (
             f"WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
