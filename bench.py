@@ -191,6 +191,7 @@ HEADLINE_QUERIES = [
     "pcm_waveform_stats",
     "kmeans_clusters_embeddings",
     "remove_boilerplate_lines",
+    "bpe_train_merges",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
