@@ -250,6 +250,56 @@ def main() -> None:
         tree(dedup_incremental(docs.limit(100), docs, "text", "doc_id")),
     ))
 
+    import numpy as np
+
+    from mgspark.pipeline.boilerplate import remove_boilerplate_lines
+    from mgspark.pipeline.bpe import word_counts
+    from mgspark.pipeline.clustering import kmeans_assign
+
+    sections.append((
+        "Distributed k-means: pure-JVM assignment, no Python node",
+        "The per-centroid distances are zip_with/aggregate expressions "
+        "over broadcast-literal centroids and the argmin is "
+        "array_position(array_min) — one Project over the scan, entirely "
+        "JVM-side (higher-order functions run interpreted but never "
+        "cross into Python).  The centroid update (not shown) is "
+        "one groupBy(cluster) with per-dimension sums, map-side "
+        "combined, shuffling k*(dim+1) doubles per partition.",
+        tree(
+            kmeans_assign(
+                spark.read.parquet(
+                    os.path.join(REPO, ".fixtures", "kmeans_embeddings_v1.parquet")
+                ),
+                "embedding",
+                "vec_id",
+                np.zeros((4, 8)),
+            )
+        ),
+    ))
+
+    sections.append((
+        "Boilerplate line dedup: broadcast anti-join against the hot set",
+        "The hot-line blacklist (doc_freq above threshold) is tiny by "
+        "construction, so removal is BroadcastHashJoin LeftAnti on the "
+        "exploded line relation — the stop-gram pattern; reassembly is "
+        "one order-restoring array_sort groupBy.  No Python anywhere.",
+        tree(remove_boilerplate_lines(docs.limit(50), "text", "doc_id")),
+    ))
+
+    sections.append((
+        "BPE training scan: combiner word counts feed a bounded TakeOrdered",
+        "The only corpus-sized operation in tokenizer training: explode "
+        "+ groupBy(word) with map-side partial aggregation, then the "
+        "driver merge loop consumes the top-N vocabulary via "
+        "TakeOrderedAndProject — driver materialization is vocab-sized "
+        "at any corpus size.",
+        tree(
+            word_counts(docs, "text")
+            .orderBy(F.col("cnt").desc(), "word")
+            .limit(1000)
+        ),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the flagship operators",
         "",
