@@ -1422,6 +1422,32 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(docs, "text", "doc_id", max_doc_freq=_BOILER_MAX_DF)
 
 
+# Linearly separable integer-feature fixture for the quality-classifier
+# contract row (wide margins: trained predictions are ulp-stable).
+_CLASSIFIER_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "classifier_docs_v1.parquet"
+)
+
+
+def q_quality_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (pipeline/classifier.py): distributed
+    logistic regression trained end-to-end on the planted fixture —
+    every iteration one pure-JVM scan + a combiner shuffle of d+2
+    partial sums — then scored with the exp-free margin rule.  The
+    oracle is the planted labels: a hash match proves training recovers
+    the separator and scoring releases it exactly."""
+    from mgspark.pipeline.classifier import (
+        logreg_score,
+        logreg_train,
+        write_classifier_docs_parquet,
+    )
+
+    write_classifier_docs_parquet(_CLASSIFIER_PARQUET)
+    docs = spark.read.parquet(_CLASSIFIER_PARQUET)
+    w, b = logreg_train(docs, "features", "label", iterations=20, lr=0.5)
+    return logreg_score(docs, "features", "doc_id", w, b)
+
+
 _BPE_MERGES, _BPE_TOP_WORDS = 30, 10_000
 
 
@@ -2013,6 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts_top": q_bpe_word_counts_top,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_roundtrip_invariant": q_bpe_roundtrip_invariant,
+        # new r4: model-based quality gate (distributed logreg); takes
+        # curate_documents' slot (green r1-r3; its components stay
+        # in-window via dedup_incremental_exact + the minhash invariant)
+        "quality_classifier_predictions": q_quality_classifier_predictions,
         # --- one representative per operator family ---
         # (mg_topk_user_id and bpe_token_stats rotate to the tail this
         # round: both green r1-r3, their code paths carried in-window by
@@ -2023,7 +2053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
         # pipeline: dedup / similarity / text analysis
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
-        "curate_documents": q_curate_documents,
         # new r4: fully distributed k-means (Lloyd unrolled in the SQL
         # oracle); replaces lang_id in-window (bpe_token_stats +
         # tfidf_top_terms keep the textstats family represented; lang_id
@@ -2080,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "mg_topk_user_id": _mg_topk_query("events", "user_id", 512),
         "mg_grouped_lang_by_source": q_mg_grouped_lang_by_source,
+        "curate_documents": q_curate_documents,
         "profile_events": q_profile_events,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2172,6 +2202,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY asset_id) "
             "SELECT p.asset_id, p.width, p.height, px.px_sum "
             "FROM parsed p JOIN px ON p.asset_id = px.asset_id"
+        ),
+        "quality_classifier_predictions": (
+            # planted labels: matching them proves the distributed GD
+            # recovered the separator and the margin-rule release is
+            # exact (wide-margin fixture, see write_classifier_docs_parquet)
+            "SELECT doc_id AS id, label AS keep "
+            f"FROM read_parquet('{_CLASSIFIER_PARQUET}')"
         ),
         "bpe_word_counts_top": (
             "WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word "

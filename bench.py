@@ -192,6 +192,7 @@ HEADLINE_QUERIES = [
     "kmeans_clusters_embeddings",
     "remove_boilerplate_lines",
     "bpe_train_merges",
+    "quality_classifier_predictions",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",

@@ -1,0 +1,147 @@
+"""Model-based quality filtering: distributed logistic regression.
+
+Production curation pipelines (CCNet, FineWeb) gate documents with a
+learned quality classifier, not just hand rules.  This module trains a
+logistic-regression gate with full-batch gradient descent where every
+iteration is ONE combiner-aggregated scan — the same scale shape as the
+k-means centroid update:
+
+- the margin ``w . x + b`` is a pure-JVM ``zip_with``/``aggregate``
+  expression over the broadcast-literal weight vector;
+- the sigmoid is ``1 / (1 + exp(-m))`` in JVM ``F.exp``;
+- the gradient is ``groupBy().agg(sum((p - y) * x_j) for each j)`` —
+  map-side partial aggregation shuffles d+2 doubles per partition
+  regardless of corpus size;
+- the driver holds only the (d+1)-float parameter vector.
+
+No Python touches any row.  Fixed iterations + zero init + a fixed
+learning rate make training deterministic up to float summation order;
+scoring releases integer labels, so on a margin-separated corpus the
+released predictions are exactly reproducible (the same ulp argument as
+pipeline/clustering.py — see write_classifier_docs_parquet).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "logreg_train",
+    "logreg_score",
+    "write_classifier_docs_parquet",
+]
+
+
+def _margin_expr(vec_col: str, weights: np.ndarray, bias: float):
+    lit = F.array(*[F.lit(float(w)) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), lit, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot + F.lit(float(bias))
+
+
+def logreg_train(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    iterations: int = 20,
+    lr: float = 0.5,
+) -> tuple[np.ndarray, float]:
+    """Full-batch GD from zero init.  Each iteration: one scan, one
+    combiner-aggregated shuffle of (d+2) partial sums; returns
+    (weights, bias).  The input is persisted for the loop."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return np.zeros(0), 0.0
+    dim = int(first["d"])
+    cached = df.select(
+        F.col(vec_col).alias("x"), F.col(label_col).cast("double").alias("y")
+    ).persist()
+    try:
+        n = cached.count()
+        w = np.zeros(dim)
+        b = 0.0
+        for _ in range(iterations):
+            m = _margin_expr("x", w, b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+            resid = (p - F.col("y")).alias("r")
+            row = (
+                cached.select(resid, "x")
+                .agg(
+                    F.sum("r").alias("g_b"),
+                    *[
+                        F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
+                        for j in range(dim)
+                    ],
+                )
+                .first()
+            )
+            grad_w = np.array([row[f"g{j}"] for j in range(dim)]) / n
+            w = w - lr * grad_w
+            b = b - lr * float(row["g_b"]) / n
+    finally:
+        cached.unpersist()
+    return w, b
+
+
+def logreg_score(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    weights: np.ndarray,
+    bias: float,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, keep): keep = 1 where sigmoid(w.x + b) >= threshold —
+    equivalently margin >= logit(threshold), computed without exp so the
+    comparison is exact at threshold 0.5 (margin >= 0).  Pure-JVM
+    expression; plan has no Python node."""
+    logit = float(np.log(threshold / (1.0 - threshold)))
+    m = _margin_expr(vec_col, weights, bias)
+    return df.select(
+        F.col(id_col).alias("id"),
+        (m >= F.lit(logit)).cast("long").alias("keep"),
+    )
+
+
+def write_classifier_docs_parquet(
+    path: str, n: int = 300, dim: int = 6, seed: int = 71
+) -> str:
+    """Linearly separable INTEGER-feature fixture with a wide margin:
+    label 1 rows have feature sums around +30, label 0 around -30, so
+    after a few GD iterations every margin is far from the decision
+    boundary and cross-engine ulp noise in the trained weights cannot
+    flip a released label.  Columns: (doc_id, features, label)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    ids, feats, labels = [], [], []
+    for i in range(n):
+        y = i % 2
+        base = 5 if y else -5
+        v = base + rng.integers(-2, 3, size=dim)
+        ids.append(i)
+        feats.append([float(x) for x in v])
+        labels.append(y)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "features": pa.array(feats, pa.list_(pa.float64())),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
