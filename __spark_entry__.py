@@ -464,6 +464,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_read(spark, sf_dir, "documents"), "text", "doc_id", k=3)
 
 
+_BM25_TERMS, _BM25_K = ["merge", "window", "scan"], 20
+
+
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (pipeline/retrieval.py): one persisted corpus
+    scan, a q+2-value combiner aggregation, TakeOrdered release.
+    ``idf="rational"`` keeps every op IEEE +,*,/ on integer-derived
+    doubles, so the DuckDB oracle replaying the identical expression
+    order hash-matches the scores bit-for-bit (same argument as the
+    unrolled-Lloyd k-means oracle)."""
+    from mgspark.pipeline.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=_BM25_K, idf="rational")
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling pass (one-scan per-column stats), exact
     distinct mode for the oracle; restricted to string/int columns so
@@ -2050,7 +2066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (mg_grouped_lang_by_source, profile_events, tfidf_top_terms
         # also rotate to the tail for the BPE rows: green r2/r3,
         # modules untouched this round)
-        "mg_private_topk_event_type": q_mg_private_topk_event_type,
+        # new r4: BM25 retrieval (rational-IDF bit-exact oracle); takes
+        # mg_private_topk_event_type's slot (rows-only no_oracle, green
+        # r2+r3; its oracle-checked DP machinery stays covered by
+        # mg_pure_dp_doc_lang + mg_user_level_event_type in-window)
+        "bm25_topk_docs": q_bm25_topk_docs,
         # pipeline: dedup / similarity / text analysis
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         # new r4: fully distributed k-means (Lloyd unrolled in the SQL
@@ -2138,10 +2158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_quantiles": q_kll_value_quantiles,
         # stable-green composition of the checked hash_sample path
         "mixture_sample_docs": q_mixture_sample_docs,
+        # rotated out for bm25_topk_docs (rows-only, green r2+r3)
+        "mg_private_topk_event_type": q_mg_private_topk_event_type,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from mgspark.pipeline.retrieval import bm25_oracle_sql
+
     return {
         "mg_topk_doc_lang": _mg_topk_oracle("documents", "lang"),
         "mg_topk_returnflag": _mg_topk_oracle("lineitem", "l_returnflag"),
@@ -2555,6 +2579,12 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN total_tokens > 0 THEN "
             "(total_tokens * 10000) // (((total_tokens + 255) // 256) * 256) "
             "ELSE 0 END)::BIGINT AS fill_bp FROM agg"
+        ),
+        # rational-IDF BM25: the helper emits the identical IEEE
+        # expression order the Spark path evaluates, so the double
+        # scores hash-match bit-for-bit (see pipeline/retrieval.py)
+        "bm25_topk_docs": bm25_oracle_sql(
+            "documents", "text", "doc_id", _BM25_TERMS, k=_BM25_K
         ),
         "tfidf_top_terms": (
             "WITH terms AS (SELECT doc_id, "

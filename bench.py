@@ -193,6 +193,7 @@ HEADLINE_QUERIES = [
     "remove_boilerplate_lines",
     "bpe_train_merges",
     "quality_classifier_predictions",
+    "bm25_topk_docs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",

@@ -1,0 +1,191 @@
+"""BM25 retrieval over a document corpus.
+
+Training-data pipelines use lexical retrieval constantly — fetching the
+corpus documents most relevant to an eval prompt (retrieval-based
+decontamination, the complement of ``pipeline/decontam``'s n-gram
+overlap), mining topical subsets for mixture construction, and spot-
+checking near-dup candidates.  This is Robertson/Spärck Jones BM25
+(probabilistic relevance, the TREC/Okapi formulation Lucene implements)
+expressed with the scale shape Spark wants:
+
+- per-document term frequencies for the (few) query terms are pure-JVM
+  array expressions (``filter`` + ``size`` over the whitespace token
+  array) — a zero-shuffle projection, NOT an explode + join against a
+  term table, because the query is tiny while the corpus is not;
+- corpus statistics (N, total length, per-term document frequency) are
+  ONE combiner aggregation returning q+2 numbers;
+- the projection is persisted once, so scoring re-reads q+2 small
+  columns instead of re-scanning text — one corpus scan total;
+- the top-k is ``orderBy(score desc, id).limit(k)`` — TakeOrdered, a
+  per-partition heap + driver merge, never a global sort.
+
+Two IDF modes:
+
+- ``idf="lucene"`` (default): ``ln(1 + (N - df + 0.5) / (df + 0.5))`` —
+  the standard non-negative Lucene/BM25+ weight.  Involves a
+  transcendental, so cross-engine bit-equality is not guaranteed.
+- ``idf="rational"``: ``(N - df + 0.5) / (df + 0.5)`` — the same
+  quantity without the log.  Every operation is IEEE +,*,/ on
+  integer-derived doubles, so an oracle engine replaying the identical
+  expression order reproduces the scores BIT-FOR-BIT (the same argument
+  as pipeline/clustering.py's unrolled-Lloyd oracle).  The log is
+  monotone, so single-term rankings agree with ``lucene``; multi-term
+  rankings weight rare terms more steeply.  Used by the driver oracle
+  row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk", "bm25_oracle_sql"]
+
+
+def _dedupe(terms: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out = []
+    for t in terms:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _eq_lit(term: str):
+    # A single-arg closure: F.filter inspects the lambda's arity, so a
+    # two-parameter `lambda t, term=term:` would be called as
+    # (element, index) and bind `term` to the index column.
+    lit = F.lit(term)
+    return lambda t: t == lit
+
+
+def _tok_expr(text_col: str):
+    # Whitespace tokens, empties dropped — matches textstats.token_stats
+    # and the DuckDB `list_filter(string_split(text, ' '), x -> x <> '')`
+    # convention used by every text oracle in the contract.
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to ``query_terms``.
+
+    Returns (id, score), score descending, ties broken by ascending id.
+    One corpus scan (persisted projection), one q+2-value combiner
+    aggregation, TakeOrdered release — no join, no explode, no Python.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if idf not in ("lucene", "rational"):
+        raise ValueError(f"idf must be 'lucene' or 'rational', got {idf!r}")
+    terms = _dedupe([str(t) for t in query_terms])
+
+    from mgspark.cacheutil import transient_persist
+
+    toks = _tok_expr(text_col)
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(term))).alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    proj = transient_persist(proj)
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+        *[
+            F.coalesce(
+                F.sum((F.col(f"tf{i}") > 0).cast("long")), F.lit(0)
+            ).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        return proj.select(
+            F.col("id"), F.lit(0.0).alias("score")
+        ).where(F.lit(False))
+    total_dl = int(stats["total_dl"])
+    # Exact integer->double conversions; avgdl is one IEEE division, so
+    # an oracle recomputing total_dl / n gets the identical double.
+    avgdl = float(total_dl) / float(n) if total_dl > 0 else 1.0
+
+    score = None
+    for i in range(len(terms)):
+        dfi = int(stats[f"df{i}"])
+        ratio = (float(n) - float(dfi) + 0.5) / (float(dfi) + 0.5)
+        w = math.log1p(ratio) if idf == "lucene" else ratio
+        tf = F.col(f"tf{i}").cast("double")
+        # Denominator order pinned left-to-right: tf + k1*((1-b) + b*dl/avgdl)
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = F.lit(float(w)) * (tf * F.lit(float(k1) + 1.0)) / denom
+        score = contrib if score is None else score + contrib
+
+    return (
+        proj.select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ANSI/DuckDB SQL replaying :func:`bm25_topk` with ``idf="rational"``
+    in the identical IEEE operation order, so the scores hash-match
+    bit-for-bit.  Float literals are emitted with ``repr`` of the exact
+    Python doubles the Spark path uses."""
+    terms = _dedupe([str(t) for t in query_terms])
+    tf_cols = ", ".join(
+        "len(list_filter(string_split(coalesce(%s, ''), ' '), x -> x = '%s')) AS tf%d"
+        % (text_col, t.replace("'", "''"), i)
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    k1p1, omb, bl, k1l = repr(float(k1) + 1.0), repr(1.0 - float(b)), repr(float(b)), repr(float(k1))
+    contribs = " + ".join(
+        f"(((n::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5)) * "
+        f"(tf{i}::DOUBLE * {k1p1}) / "
+        f"(tf{i}::DOUBLE + {k1l} * ({omb} + {bl} * dl::DOUBLE / avgdl)))"
+        for i in range(len(terms))
+    )
+    return (
+        f"WITH proj AS (SELECT {id_col} AS id, "
+        f"len(list_filter(string_split(coalesce({text_col}, ''), ' '), x -> x <> '')) AS dl, "
+        f"{tf_cols} FROM {table}), "
+        f"stats AS (SELECT count(*)::BIGINT AS n, "
+        f"coalesce(sum(dl), 0)::BIGINT AS total_dl, {df_cols} FROM proj), "
+        # avgdl mirrors the Spark driver: total_dl/n when total_dl > 0 else 1.0
+        f"s2 AS (SELECT *, CASE WHEN total_dl > 0 THEN total_dl::DOUBLE / n::DOUBLE "
+        f"ELSE 1.0 END AS avgdl FROM stats) "
+        f"SELECT id, ({contribs}) AS score FROM proj, s2 "
+        f"ORDER BY score DESC, id ASC LIMIT {int(k)}"
+    )
