@@ -55,15 +55,27 @@ def logreg_train(
     """Full-batch GD from zero init.  Each iteration: one scan, one
     combiner-aggregated shuffle of (d+2) partial sums; returns
     (weights, bias).  The input is persisted for the loop."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        return np.zeros(0), 0.0
-    dim = int(first["d"])
     cached = df.select(
         F.col(vec_col).alias("x"), F.col(label_col).cast("double").alias("y")
     ).persist()
     try:
+        first = cached.select(F.size("x").alias("d")).first()
+        if first is None:
+            return np.zeros(0), 0.0
+        dim = int(first["d"])
         n = cached.count()
+        # The loop launches `iterations` jobs against the cache; for a
+        # small corpus the per-task scheduling overhead (partitions x
+        # iterations empty-ish tasks) dominates the arithmetic.  Keep a
+        # ~50k-rows-per-task floor: big inputs keep full parallelism,
+        # tiny ones collapse to a few tasks per iteration.
+        parts = cached.rdd.getNumPartitions()
+        target = max(1, min(parts, n // 50_000 + 1))
+        if target < parts:
+            small = cached.coalesce(target).persist()
+            small.count()
+            cached.unpersist()
+            cached = small
         w = np.zeros(dim)
         b = 0.0
         for _ in range(iterations):
