@@ -705,6 +705,25 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export manifest (pipeline/sink.py): deterministic Knuth
+    shard assignment + per-shard row/token counts and an XOR-folded
+    sha256 fingerprint checksum — order- and partitioning-independent
+    exact integers, so DuckDB replaying the identical hash reproduces
+    every checksum bit-for-bit.  The verification surface a 100 TB
+    export is resumed/validated against."""
+    from mgspark.pipeline.sink import shard_manifest
+
+    return shard_manifest(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        ["text", "lang"],
+        n_shards=16,
+        seed=7,
+        text_col="text",
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GPT-style sequence packing: seeded-hash shard,
     running token offset in id order, chunk span — all exact integers,
@@ -2054,7 +2073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver merge loop -> broadcast distributed encode)
         "bpe_word_counts_top": q_bpe_word_counts_top,
         "bpe_train_merges": q_bpe_train_merges,
-        "bpe_roundtrip_invariant": q_bpe_roundtrip_invariant,
+        # new r4: sharded sink manifest (exact XOR-fold checksums);
+        # takes bpe_roundtrip_invariant's slot (BPE keeps two in-window
+        # rows; the invariant stays pytest-checked and rotates to tail)
+        "shard_manifest_docs": q_shard_manifest_docs,
         # new r4: model-based quality gate (distributed logreg); takes
         # curate_documents' slot (green r1-r3; its components stay
         # in-window via dedup_incremental_exact + the minhash invariant)
@@ -2160,11 +2182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": q_mixture_sample_docs,
         # rotated out for bm25_topk_docs (rows-only, green r2+r3)
         "mg_private_topk_event_type": q_mg_private_topk_event_type,
+        # rotated out for shard_manifest_docs (oracle green in pytest;
+        # BPE keeps two in-window rows)
+        "bpe_roundtrip_invariant": q_bpe_roundtrip_invariant,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from mgspark.pipeline.retrieval import bm25_oracle_sql
+    from mgspark.pipeline.sink import shard_manifest_oracle_sql
 
     return {
         "mg_topk_doc_lang": _mg_topk_oracle("documents", "lang"),
@@ -2233,6 +2259,12 @@ def oracle_sql() -> dict[str, str]:
             # exact (wide-margin fixture, see write_classifier_docs_parquet)
             "SELECT doc_id AS id, label AS keep "
             f"FROM read_parquet('{_CLASSIFIER_PARQUET}')"
+        ),
+        # sink manifest: DuckDB replays the identical Knuth shard hash,
+        # sha256-prefix fingerprint, and XOR fold (pipeline/sink.py)
+        "shard_manifest_docs": shard_manifest_oracle_sql(
+            "documents", "doc_id", ["text", "lang"], n_shards=16, seed=7,
+            text_col="text",
         ),
         "bpe_word_counts_top": (
             "WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word "

@@ -194,6 +194,7 @@ HEADLINE_QUERIES = [
     "bpe_train_merges",
     "quality_classifier_predictions",
     "bm25_topk_docs",
+    "shard_manifest_docs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "stratified_sample_docs",
