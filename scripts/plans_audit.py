@@ -300,6 +300,35 @@ def main() -> None:
         ),
     ))
 
+    from mgspark.pipeline.retrieval import bm25_topk
+    from mgspark.pipeline.sink import shard_manifest
+
+    sections.append((
+        "BM25 retrieval: one persisted scan, TakeOrdered release",
+        "Query-term frequencies are array filter/size expressions over "
+        "the whitespace token array — a zero-shuffle projection (the "
+        "query is tiny, the corpus is not: never an explode+join).  "
+        "Corpus stats are ONE q+2-value combiner aggregation off the "
+        "persisted projection, and the top-k is TakeOrderedAndProject "
+        "(per-partition heap + driver merge, never a global sort).",
+        tree(bm25_topk(docs, "text", "doc_id", ["merge", "scan"], k=10)),
+    ))
+
+    sections.append((
+        "Sharded sink manifest: zero-shuffle fingerprints, one combiner agg",
+        "Shard id and the 60-bit sha256 row fingerprint are pure column "
+        "expressions inside the scan Project; the per-shard counts and "
+        "XOR-fold checksum are a single partial+final HashAggregate — "
+        "post-shuffle traffic is n_shards rows regardless of corpus "
+        "size.  XOR is order/partitioning-independent, so the checksum "
+        "is stable at any cluster size (the resume/validation contract).",
+        tree(
+            shard_manifest(
+                docs, "doc_id", ["text", "lang"], n_shards=16, text_col="text"
+            )
+        ),
+    ))
+
     lines = [
         "# PLANS — physical-plan audit of the flagship operators",
         "",
