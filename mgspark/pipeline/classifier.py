@@ -73,7 +73,11 @@ def logreg_train(
         target = max(1, min(parts, n // 50_000 + 1))
         if target < parts:
             small = cached.coalesce(target).persist()
-            small.count()
+            try:
+                small.count()
+            except Exception:
+                small.unpersist()
+                raise
             cached.unpersist()
             cached = small
         w = np.zeros(dim)

@@ -17,22 +17,32 @@ Plan shape at scale:
 - `shard_manifest` is ONE combiner aggregation over a zero-shuffle
   projection (shard + per-row fingerprint are pure column expressions);
   post-shuffle traffic is n_shards rows.
-- `write_sharded` repartitions BY THE SHARD COLUMN (one exchange, the
-  same key the files are split by, so each output shard is written by
-  exactly one task — no small-file explosion from tasks x shards
-  cross products) and emits parquet `partitionBy("shard")`.
+- `write_sharded` range-repartitions BY THE SHARD COLUMN (one exchange,
+  the same key the files are split by, so each output shard is written
+  by exactly one task — no small-file explosion from tasks x shards
+  cross products, and no hash balls-in-bins idling either) and emits
+  parquet `partitionBy("shard")`; the manifest is then derived from the
+  written files, never from a second execution of the input plan.
 - `verify_shards` re-derives the manifest from the written files and
   anti-joins it against the expected manifest — a shard-count-sized
   comparison, never a row-level diff.
 
-The per-row fingerprint is the first 60 bits of sha256 over the
-checksum columns (NULL-tagged, unit-separator-joined — the injective
-encoding `exact_dup_groups` uses), XOR-folded per shard.  XOR is
+The per-row fingerprint is the first 60 bits of sha256 over the id plus
+the checksum columns (each value tag-prefixed — `N` for NULL, `V` for a
+value — and unit-separator-joined, so the encoding is injective for any
+values not containing \\x1f), XOR-folded per shard.  XOR is
 commutative/associative with identity 0, so the checksum is independent
 of row order and partitioning and never overflows — and both engines
 compute it exactly (DuckDB replays `('0x' || substr(sha256(...), 1,
 15))::BIGINT` with `bit_xor`), which is what makes the manifest an
-exact cross-engine oracle row rather than a trust-me number.
+exact cross-engine oracle row rather than a trust-me number.  The id is
+always part of the fingerprint: XOR self-cancels even multiplicities,
+so fingerprints must be row-unique for corruption to be visible — with
+the (unique) id folded in, only full-row duplicates including the id
+could cancel.  Checksum columns are restricted to types whose string
+form is engine-independent (string / integral / boolean); doubles,
+dates, and timestamps stringify differently per engine and are rejected
+rather than silently diverging from the oracle.
 """
 
 from __future__ import annotations
@@ -65,7 +75,7 @@ def shard_expr(id_col: str, n_shards: int, seed: int = 0):
         .otherwise(
             F.raise_error(
                 F.lit(
-                    f"write_sharded: NULL {id_col} — shard assignment "
+                    f"sink shard assignment: NULL {id_col} — "
                     "requires non-null integral ids in [0, 2^31)"
                 )
             ).cast("bigint")
@@ -74,13 +84,37 @@ def shard_expr(id_col: str, n_shards: int, seed: int = 0):
     )
 
 
-def _fingerprint_expr(checksum_cols: list[str]):
-    # NULL-tagged, separator-joined encoding (injective for non-US
-    # text), sha256, first 15 hex chars -> 60-bit non-negative bigint.
+# Types whose cast-to-string is identical in Spark and DuckDB.  Doubles
+# ('1.0E8' vs '100000000.0'), dates, and timestamps are not.
+_CHECKSUM_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "boolean"}
+
+
+def _checked_fp_cols(df: DataFrame, id_col: str, checksum_cols: list[str]) -> list[str]:
+    if not checksum_cols:
+        raise ValueError("checksum_cols must be non-empty")
+    cols = [id_col] + [c for c in checksum_cols if c != id_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        t = types.get(c)
+        if t is not None and t not in _CHECKSUM_TYPES:
+            raise ValueError(
+                f"checksum column {c!r} has type {t}: only "
+                f"{sorted(_CHECKSUM_TYPES)} stringify identically across "
+                "engines — cast it explicitly first"
+            )
+    return cols
+
+
+def _fingerprint_expr(fp_cols: list[str]):
+    # Tag-prefixed ('N' null / 'V' value), separator-joined encoding
+    # (injective for values without \x1f), sha256, first 15 hex chars
+    # -> 60-bit non-negative bigint.
     parts = []
-    for c in checksum_cols:
+    for c in fp_cols:
         col = F.col(c).cast("string")
-        parts.append(F.when(col.isNull(), F.lit("\x00")).otherwise(col))
+        parts.append(
+            F.when(col.isNull(), F.lit("N")).otherwise(F.concat(F.lit("V"), col))
+        )
     joined = F.concat_ws(_US, *parts)
     return F.conv(F.substring(F.sha2(joined, 256), 1, 15), 16, 10).cast("bigint")
 
@@ -96,16 +130,16 @@ def shard_manifest(
     """Per-shard export manifest: (shard, n_rows, checksum[, n_tokens]).
 
     ``checksum`` is the XOR fold of per-row 60-bit sha256 fingerprints
-    over ``checksum_cols`` — order- and partitioning-independent, exact
-    in any engine.  With ``text_col`` set, ``n_tokens`` adds the
-    whitespace token count (the number shard-size planning uses).  One
-    zero-shuffle projection + one combiner aggregation.
+    over ``id_col`` plus ``checksum_cols`` — order- and
+    partitioning-independent, exact in any engine.  With ``text_col``
+    set, ``n_tokens`` adds the whitespace token count (the number
+    shard-size planning uses).  One zero-shuffle projection + one
+    combiner aggregation.
     """
-    if not checksum_cols:
-        raise ValueError("checksum_cols must be non-empty")
+    fp_cols = _checked_fp_cols(df, id_col, checksum_cols)
     cols = [
         shard_expr(id_col, n_shards, seed).alias("shard"),
-        _fingerprint_expr(checksum_cols).alias("_fp"),
+        _fingerprint_expr(fp_cols).alias("_fp"),
     ]
     if text_col is not None:
         from mgspark.pipeline.textstats import ws_tokens_expr
@@ -134,10 +168,13 @@ def shard_manifest_oracle_sql(
     text_col: str | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`shard_manifest` exactly: the same
-    Knuth hash, sha256-prefix fingerprint, and XOR fold."""
+    Knuth hash, sha256-prefix fingerprint (id + checksum columns,
+    N/V-tagged), and XOR fold."""
     knuth, mod = 2654435761, 1 << 32
+    fp_cols = [id_col] + [c for c in checksum_cols if c != id_col]
     fp_parts = " || chr(31) || ".join(
-        f"coalesce({c}::VARCHAR, chr(0))" for c in checksum_cols
+        f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || {c}::VARCHAR END"
+        for c in fp_cols
     )
     sel = [
         f"(({id_col}::BIGINT + {int(seed)}) * {knuth}) % {mod} "
@@ -169,22 +206,35 @@ def write_sharded(
     """Materialize ``df`` as ``n_shards`` deterministic parquet shards
     under ``path`` plus a ``_manifest`` parquet, and return the manifest.
 
-    The data is repartitioned BY the shard column before the
-    partitioned write, so each shard directory is produced by exactly
-    one task (no tasks x shards small-file cross product).  The manifest
-    is computed from the input plan in the same pass shape
-    (`shard_manifest`) and persisted beside the data; `verify_shards`
-    recomputes it from the written files to validate a resumed export.
+    The data is range-repartitioned BY the shard column before the
+    partitioned write: each shard directory is produced by exactly one
+    task (no tasks x shards small-file cross product), and range — not
+    hash — partitioning of the [0, n_shards) key avoids the balls-in-
+    bins collisions that would leave ~1/e of the write tasks idle while
+    stragglers write several shards each.  The manifest is then computed
+    FROM THE WRITTEN FILES (not by re-executing the input plan, which
+    would double the input scan and could desync manifest from data if
+    the plan is non-deterministic) and persisted beside them;
+    `verify_shards` recomputes the same thing later to validate a
+    resumed export.
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "write_sharded: input already has a 'shard' column — rename "
+            "it first (the sink reserves 'shard' for its assignment)"
+        )
+    _checked_fp_cols(df, id_col, checksum_cols)
+    data_path = os.path.join(path, "data")
     shard = shard_expr(id_col, n_shards, seed)
     (
         df.withColumn("shard", shard)
-        .repartition(int(n_shards), "shard")
+        .repartitionByRange(int(n_shards), "shard")
         .write.mode(mode)
         .partitionBy("shard")
-        .parquet(os.path.join(path, "data"))
+        .parquet(data_path)
     )
-    manifest = shard_manifest(df, id_col, checksum_cols, n_shards, seed)
+    written = df.sparkSession.read.parquet(data_path).drop("shard")
+    manifest = shard_manifest(written, id_col, checksum_cols, n_shards, seed)
     manifest.coalesce(1).write.mode(mode).parquet(os.path.join(path, "_manifest"))
     return manifest
 

@@ -112,7 +112,7 @@ def test_verify_detects_content_mismatch(spark, tmp_path):
     assert kinds == {"mismatch"}
 
 
-def test_null_id_raises_and_bad_args(spark):
+def test_null_id_raises_and_bad_args(spark, tmp_path):
     df = spark.createDataFrame([(None, "t", "en")], SCHEMA)
     with pytest.raises(Exception, match="NULL"):
         shard_manifest(df, "doc_id", ["text"]).collect()
@@ -120,6 +120,27 @@ def test_null_id_raises_and_bad_args(spark):
         shard_manifest(_mk(spark), "doc_id", [])
     with pytest.raises(ValueError):
         shard_expr("doc_id", 0)
+    # engine-dependent stringification rejected up front
+    doubled = _mk(spark).withColumn("score", F.lit(1e8))
+    with pytest.raises(ValueError, match="stringify"):
+        shard_manifest(doubled, "doc_id", ["score"])
+    # a pre-existing shard column would be silently destroyed -> reject
+    with pytest.raises(ValueError, match="shard"):
+        write_sharded(
+            _mk(spark).withColumn("shard", F.lit(1)),
+            str(tmp_path / "x"),
+            "doc_id",
+            ["text"],
+        )
+
+
+def test_null_vs_nul_byte_fingerprints_differ(spark):
+    # 'N' tag vs 'V\x00' value: NULL and a literal NUL must not collide
+    a = spark.createDataFrame([(1, "t", None)], SCHEMA)
+    b = spark.createDataFrame([(1, "t", "\x00")], SCHEMA)
+    ca = shard_manifest(a, "doc_id", ["lang"]).first()["checksum"]
+    cb = shard_manifest(b, "doc_id", ["lang"]).first()["checksum"]
+    assert ca != cb
 
 
 def test_manifest_plan_is_pure_jvm_single_agg(spark):
