@@ -15,10 +15,18 @@ Scale design, per iteration:
   ``array_position``/``array_min``) while k*dim stays below
   ``_JVM_EXPR_LIMIT``; above it the same math runs as a vectorized
   numpy ``mapInPandas`` (Arrow batches, never per-row Python);
+- the assignment CARRIES ``vec`` through (``carry_vec=True``), so the
+  centroid update is scan + combiner aggregate only — there is NO
+  per-iteration join back to the cached table (a full-width shuffle
+  join per Lloyd round would dominate at 100 TB);
 - the centroid update shuffles only k rows of (count, dim partial sums)
-  per partition — ``groupBy(cluster)`` with one ``sum(element_at(vec, i))``
-  per dimension gets map-side combining from Catalyst, so the exchange
-  is k*(dim+1) doubles per partition regardless of table size;
+  per partition while ``dim <= _DIM_FANOUT_LIMIT`` — ``groupBy(cluster)``
+  with one ``sum(element_at(vec, i))`` per dimension gets map-side
+  combining from Catalyst, so the exchange is k*(dim+1) doubles per
+  partition regardless of table size; at embedding dims (512-1024) the
+  per-dimension expression fan-out would bloat codegen, so the update
+  switches to ``posexplode(vec)`` + ``groupBy(cluster, pos)`` — still
+  combiner-aggregated, k*dim rows total on the exchange;
 - the input is persisted once for the iteration loop and unpersisted on
   exit; centroids (k x dim, driver-side numpy) are the only state.
 
@@ -38,7 +46,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 __all__ = [
     "kmeans_fit",
@@ -52,11 +66,26 @@ _MOD = 4294967296
 # beyond this many (centroid x dim) literal terms, the codegen expression
 # tree gets slow to compile; switch to the Arrow/numpy path
 _JVM_EXPR_LIMIT = 4096
+# beyond this many per-dimension sum(element_at(vec, i)) aggregate
+# expressions, the centroid update switches to posexplode + (cluster, pos)
+# grouping — same combiner behavior, no codegen bloat at embedding dims
+_DIM_FANOUT_LIMIT = 64
+# rows per numpy distance block in the Arrow assignment path: bounds the
+# (block x k x dim) float64 scratch at ~64 MiB for k*dim = 2^20
+_ASSIGN_BLOCK_FLOATS = 8_388_608
 
 _ASSIGN_SCHEMA = StructType(
     [
         StructField("id", LongType(), False),
         StructField("cluster", LongType(), False),
+    ]
+)
+
+_ASSIGN_VEC_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("cluster", LongType(), False),
+        StructField("vec", ArrayType(DoubleType()), False),
     ]
 )
 
@@ -76,43 +105,72 @@ def _assign_expr(vec_col: str, centroids: np.ndarray):
 
 
 def _assign_pandas(
-    df: DataFrame, vec_col: str, id_col: str, centroids: np.ndarray
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """Vectorized numpy assignment for large k*dim (Arrow batches)."""
+    """Vectorized numpy assignment for large k*dim (Arrow batches).
+
+    Distances are computed as the literal sum((v-c)^2) — the same
+    formulation as the JVM ``zip_with`` path and the DuckDB oracle — in
+    row blocks sized so the (block, k, dim) difference scratch stays
+    bounded.  The expanded form -2*v.c + ||c||^2 is a BLAS call but
+    rounds differently, which can flip near-tie argmins cross-engine;
+    exactness wins here (the module's contract is bit-stable clusters).
+    """
     cents = centroids.astype(np.float64)
-    c_sq = (cents * cents).sum(axis=1)
+    k, dim = cents.shape
+    block = max(1, _ASSIGN_BLOCK_FLOATS // max(1, k * dim))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
-            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant per row
-            scores = -2.0 * (mat @ cents.T) + c_sq
-            yield pd.DataFrame(
-                {
-                    "id": pdf["_id"].to_numpy(dtype=np.int64),
-                    "cluster": scores.argmin(axis=1).astype(np.int64),
-                }
-            )
+            parts = []
+            for lo in range(0, len(mat), block):
+                diff = mat[lo : lo + block, None, :] - cents[None, :, :]
+                scores = np.einsum("bkd,bkd->bk", diff, diff)
+                parts.append(scores.argmin(axis=1))
+            out = {
+                "id": pdf["_id"].to_numpy(dtype=np.int64),
+                "cluster": np.concatenate(parts).astype(np.int64),
+            }
+            if carry_vec:
+                out["vec"] = pdf["_vec"]
+            yield pd.DataFrame(out)
 
+    schema = _ASSIGN_VEC_SCHEMA if carry_vec else _ASSIGN_SCHEMA
     return df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).mapInPandas(assign, _ASSIGN_SCHEMA)
+    ).mapInPandas(assign, schema)
 
 
 def kmeans_assign(
-    df: DataFrame, vec_col: str, id_col: str, centroids: np.ndarray
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """One assignment pass: (id, cluster) with cluster the nearest
-    centroid by squared euclidean distance, ties to the lowest index."""
+    centroid by squared euclidean distance, ties to the lowest index.
+
+    ``carry_vec=True`` additionally emits the input vector as ``vec`` —
+    the iteration loop uses this so the centroid update never joins
+    back to the source table (no per-iteration shuffle join)."""
     k, dim = centroids.shape
     if k * dim <= _JVM_EXPR_LIMIT:
-        return df.select(
+        cols = [
             F.col(id_col).alias("id"),
             _assign_expr(vec_col, centroids).alias("cluster"),
-        )
-    return _assign_pandas(df, vec_col, id_col, centroids)
+        ]
+        if carry_vec:
+            cols.append(F.col(vec_col).cast("array<double>").alias("vec"))
+        return df.select(*cols)
+    return _assign_pandas(df, vec_col, id_col, centroids, carry_vec=carry_vec)
 
 
 def _init_centroids(
@@ -154,29 +212,59 @@ def kmeans_fit(
         centroids = _init_centroids(cached, "vec", "id", k, seed)
         k = len(centroids)  # corpus smaller than k
         for _ in range(iterations):
-            assigned = kmeans_assign(cached, "vec", "id", centroids).join(
-                cached, "id"
-            )
-            sums = (
-                assigned.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("vec", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            new = centroids.copy()
-            for r in sums:
-                c = int(r["cluster"])
-                n = int(r["n"])
-                new[c] = np.array([r[f"s{i}"] for i in range(dim)]) / n
-            centroids = new
+            centroids = _update_centroids(cached, centroids, dim)
     finally:
         cached.unpersist()
     return centroids
+
+
+def _iteration_sums(cached: DataFrame, centroids: np.ndarray, dim: int) -> DataFrame:
+    """One Lloyd round's centroid-update aggregate, pre-collect.
+
+    Single scan of the cached (id, vec) table: the assignment carries
+    ``vec`` through, so there is no join anywhere in the plan (pinned
+    by tests/test_plans.py).  Two shapes by dimensionality:
+
+    - dim <= _DIM_FANOUT_LIMIT: ``groupBy(cluster)`` with one
+      ``sum(element_at(vec, i))`` per dimension — k rows collected,
+      schema (cluster, n, s0..s{dim-1});
+    - otherwise: ``posexplode(vec)`` + ``groupBy(cluster, pos)`` —
+      k*dim rows collected, schema (cluster, pos, n, s).  ``count(*)``
+      per (cluster, pos) equals the cluster count, so no second scan.
+
+    Both are map-side-combined aggregates; the exchange carries
+    O(k*dim) doubles per partition regardless of table size.
+    """
+    assigned = kmeans_assign(cached, "vec", "id", centroids, carry_vec=True)
+    if dim <= _DIM_FANOUT_LIMIT:
+        return assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("vec", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+    return (
+        assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+
+
+def _update_centroids(
+    cached: DataFrame, centroids: np.ndarray, dim: int
+) -> np.ndarray:
+    rows = _iteration_sums(cached, centroids, dim).collect()
+    new = centroids.copy()
+    if dim <= _DIM_FANOUT_LIMIT:
+        for r in rows:
+            c = int(r["cluster"])
+            n = int(r["n"])
+            new[c] = np.array([r[f"s{i}"] for i in range(dim)]) / n
+    else:
+        for r in rows:
+            new[int(r["cluster"]), int(r["pos"])] = r["s"] / int(r["n"])
+    return new
 
 
 def kmeans_clusters(

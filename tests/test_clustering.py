@@ -6,9 +6,11 @@ import numpy as np
 import pytest
 
 from mgspark.pipeline.clustering import (
+    _DIM_FANOUT_LIMIT,
     _KNUTH,
     _MOD,
     _assign_pandas,
+    _iteration_sums,
     kmeans_assign,
     kmeans_clusters,
     kmeans_fit,
@@ -101,6 +103,59 @@ def test_kmeans_corpus_smaller_than_k(spark):
     assert cents.shape == (2, 2)
     out = kmeans_clusters(df, "embedding", "vec_id", k=5, iterations=2, seed=2)
     assert {r["cluster"] for r in out.collect()} == {0, 1}
+
+
+def test_kmeans_iteration_plan_has_no_join(spark):
+    """The Lloyd-round centroid update must be scan + combiner aggregate
+    only — the assignment carries vec through, so no Exchange-on-id /
+    SortMergeJoin / BroadcastHashJoin may appear in the iteration plan
+    (a per-iteration shuffle join is the 100 TB killer the round-4
+    verdict flagged)."""
+    df = _mk_df(spark, [0, 1, 2], [[0.0, 0.0], [1.0, 1.0], [9.0, 9.0]])
+    cached = df.selectExpr("vec_id as id", "embedding as vec")
+    centroids = np.array([[0.0, 0.0], [9.0, 9.0]])
+    plan = (
+        _iteration_sums(cached, centroids, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Join"):
+        assert marker not in plan, marker
+
+
+def test_kmeans_assign_carry_vec_both_paths(spark):
+    """carry_vec=True must emit the input vector unchanged on both the
+    JVM-expression and Arrow paths, with identical clusters."""
+    rng = np.random.default_rng(5)
+    ids = list(range(20))
+    vecs = rng.integers(-8, 9, size=(20, 4)).astype(float)
+    df = _mk_df(spark, ids, vecs)
+    centroids = rng.integers(-8, 9, size=(3, 4)).astype(np.float64)
+    jvm = {r["id"]: (r["cluster"], tuple(r["vec"])) for r in
+           kmeans_assign(df, "embedding", "vec_id", centroids, carry_vec=True).collect()}
+    arrow = {r["id"]: (r["cluster"], tuple(r["vec"])) for r in
+             _assign_pandas(df, "embedding", "vec_id", centroids, carry_vec=True).collect()}
+    assert jvm == arrow
+    for i in ids:
+        assert jvm[i][1] == tuple(vecs[i])
+
+
+def test_kmeans_high_dim_posexplode_update_matches_sequential(spark):
+    """Above _DIM_FANOUT_LIMIT the centroid update switches to the
+    posexplode + (cluster, pos) combiner path; the fitted centroids must
+    still match the sequential Lloyd oracle exactly."""
+    dim = _DIM_FANOUT_LIMIT + 3
+    rng = np.random.default_rng(17)
+    centers = np.vstack([np.zeros(dim), np.full(dim, 40.0)])
+    ids, vecs = [], []
+    for i in range(30):
+        ids.append(i)
+        vecs.append(centers[i % 2] + rng.integers(-2, 3, size=dim))
+    df = _mk_df(spark, ids, vecs)
+    cents = kmeans_fit(df, "embedding", "vec_id", k=2, iterations=2, seed=3)
+    ref_cents, _ = _numpy_lloyd(ids, vecs, 2, 2, 3)
+    assert np.allclose(cents, ref_cents)
 
 
 def test_kmeans_jvm_assignment_has_no_python_node(spark):
