@@ -116,7 +116,7 @@ def dedup_incremental(
 
 def minhash_incremental_pairs(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
@@ -124,6 +124,7 @@ def minhash_incremental_pairs(
     num_bands: int | None = None,
     shingle_size: int = 5,
     max_bucket: int = 1024,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN a new batch and an existing corpus:
     (batch_id, corpus_id, est_jaccard >= threshold).
@@ -135,8 +136,26 @@ def minhash_incremental_pairs(
     with no within-side pair expansion at all (within-batch dedup is a
     separate, far smaller :func:`minhash_dedup_pairs` run).
 
-    Scale shape: one shingling pass per side (signatures persisted — the
-    banding and the verification join both read them), one exchange on
+    **The daily-ingestion loop must pass ``corpus_sig``** — the persisted
+    output of :func:`minhash_signatures` (schema ``(id, sig)``) from the
+    previous run, built with the SAME ``num_hashes``/``shingle_size``/
+    seed.  With it, the corpus text column is never read: only the new
+    batch is shingled and signed, and the loop appends the batch's
+    signatures to the signature table afterwards::
+
+        corpus_sig = spark.read.parquet(sig_path)          # previous runs
+        pairs = minhash_incremental_pairs(batch, None, "text", "id",
+                                          corpus_sig=corpus_sig)
+        batch_sig = minhash_signatures(batch, "text", "id")
+        batch_sig.write.mode("append").parquet(sig_path)   # for tomorrow
+
+    Passing raw ``corpus`` text instead re-signs the ENTIRE corpus on
+    every call — a full shingle+sign scan per increment, which at 100 TB
+    defeats the point of incrementality; it is kept for one-shot use.
+
+    Scale shape: one shingling pass for the batch (plus one for the
+    corpus only in the one-shot mode; signatures persisted — the banding
+    and the verification join both read them), one exchange on
     (band, bucket) for the candidate join, and a broadcast anti-join
     that drops corpus buckets holding more than ``max_bucket`` ids
     (boilerplate content would otherwise multiply every colliding batch
@@ -152,9 +171,19 @@ def minhash_incremental_pairs(
     bsig = transient_persist(
         minhash_signatures(batch, text_col, id_col, num_hashes, shingle_size)
     )
-    csig = transient_persist(
-        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
-    )
+    if corpus_sig is not None:
+        missing = {"id", "sig"} - set(corpus_sig.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_sig must have columns (id, sig); missing {sorted(missing)}"
+            )
+        csig = transient_persist(corpus_sig.select("id", "sig"))
+    elif corpus is not None:
+        csig = transient_persist(
+            minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
+        )
+    else:
+        raise ValueError("pass either corpus (one-shot) or corpus_sig (incremental)")
     bsig.count()  # materialize before the multi-consumer fan-out
     csig.count()
     bands_b = _band_relation(bsig, num_bands, rows_per_band)

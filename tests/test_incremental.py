@@ -119,6 +119,71 @@ def test_minhash_incremental_identical_docs_always_found(spark):
     assert {(100 + i, i) for i in range(5)} <= got
 
 
+def test_minhash_incremental_precomputed_signatures_match_oneshot(spark):
+    from mgspark.pipeline.dedup import minhash_incremental_pairs, minhash_signatures
+
+    # The daily loop passes the persisted signature table instead of raw
+    # corpus text; results must be identical to the one-shot mode (same
+    # seeded hash family on both paths).
+    corpus = spark.createDataFrame(
+        [(1, _sentences("v1")), (2, _sentences("v2"))], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, _sentences("v1")), (101, "tiny unrelated")], "id long, text string"
+    )
+    oneshot = {
+        (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+        for r in minhash_incremental_pairs(
+            batch, corpus, "text", "id", threshold=0.8
+        ).collect()
+    }
+    sig = minhash_signatures(corpus, "text", "id")
+    incr = {
+        (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+        for r in minhash_incremental_pairs(
+            batch, None, "text", "id", threshold=0.8, corpus_sig=sig
+        ).collect()
+    }
+    assert oneshot == incr and len(incr) >= 1
+
+
+def test_minhash_incremental_corpus_text_never_read_with_signatures(spark):
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.dedup import minhash_incremental_pairs, minhash_signatures
+
+    # Poison the corpus text column: with a precomputed signature table
+    # the operator must never evaluate it (the whole point of the
+    # incremental mode is skipping the corpus re-sign).
+    corpus = spark.createDataFrame([(1, _sentences("v1"))], "id long, text string")
+    sig = minhash_signatures(corpus, "text", "id")
+    sig = spark.createDataFrame(sig.collect(), sig.schema)  # detach lineage
+    poisoned = corpus.withColumn(
+        "text",
+        F.when(F.length("text") >= 0, F.raise_error(F.lit("corpus text was read")))
+        .otherwise(F.lit(""))
+        .cast("string"),
+    )
+    batch = spark.createDataFrame([(100, _sentences("v1"))], "id long, text string")
+    pairs = minhash_incremental_pairs(
+        batch, poisoned, "text", "id", threshold=0.8, corpus_sig=sig
+    ).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in pairs} == {(100, 1)}
+
+
+def test_minhash_incremental_requires_a_corpus_side(spark):
+    import pytest
+
+    from mgspark.pipeline.dedup import minhash_incremental_pairs
+
+    batch = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="corpus"):
+        minhash_incremental_pairs(batch, None, "text", "id")
+    bad_sig = spark.createDataFrame([(1, "x")], "id long, nope string")
+    with pytest.raises(ValueError, match="sig"):
+        minhash_incremental_pairs(batch, None, "text", "id", corpus_sig=bad_sig)
+
+
 def test_minhash_incremental_hot_bucket_cap(spark):
     from mgspark.pipeline.dedup import minhash_incremental_pairs
 
