@@ -9,12 +9,17 @@ at line granularity, unlike the whole-document dedup family in
 ``pipeline/dedup.py``.
 
 Scale design: one ``posexplode(split(text))`` scan feeds a
-combiner-friendly ``countDistinct(doc)`` per line; the hot set (lines
-above the document-frequency threshold) is tiny by construction — the
-heavy tail of the line-frequency distribution — so boilerplate removal
-is a BROADCAST anti-join against it (the same stop-gram pattern as
-n-gram Jaccard's blacklist, never a shuffle join against the full line
-relation).  Reassembly is one groupBy(doc) with an order-restoring
+combiner-friendly ``countDistinct(doc)`` per line; removal anti-joins
+the exploded lines against the hot set (lines above the
+document-frequency threshold) ON ``xxhash64(line)`` — 8-byte keys
+instead of raw line strings on the exchange; a collision can only
+over-remove a line, the safe direction (same argument as decontam's
+hashed grams).  The join itself is SIZE-GATED: ``broadcast_hot=True``
+(default) broadcasts the hot set — right for curated corpora where the
+hot tail is small — while ``broadcast_hot=False`` falls back to a plain
+shuffle anti-join for web-scale corpora where "lines with doc_freq > 2"
+is millions-to-billions of rows and a forced broadcast would OOM the
+executors.  Reassembly is one groupBy(doc) with an order-restoring
 ``array_sort`` over (pos, line) structs — all built-in JVM expressions,
 no Python anywhere.
 
@@ -36,10 +41,22 @@ __all__ = [
 ]
 
 
+def _literal_regex(sep: str) -> str:
+    """Quote ``sep`` so Java regex treats it as a LITERAL separator.
+
+    ``F.split`` interprets its pattern as a Java regex; the documented
+    semantics here are literal (``sep='.'`` or ``'|'`` must not become
+    match-anything / alternation).  ``\\Q...\\E`` quoting, with any
+    embedded ``\\E`` stitched through."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _exploded_lines(df: DataFrame, text_col: str, id_col: str, sep: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _literal_regex(sep), -1)
+        ).alias("pos", "line"),
     )
 
 
@@ -73,15 +90,29 @@ def remove_boilerplate_lines(
     id_col: str,
     max_doc_freq: int = 2,
     sep: str = "\n",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Strip every line occurring in more than ``max_doc_freq`` distinct
     documents; keep remaining lines in their original order.  Output:
     (id, clean_text, n_kept, n_removed) — one row per input document,
     with ``clean_text = ''`` when every line was boilerplate.  Integer
-    line counts keep the oracle float-free."""
-    lines = _exploded_lines(df, text_col, id_col, sep)
-    hot = boilerplate_lines(df, text_col, id_col, max_doc_freq, sep).select("line")
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    line counts keep the oracle float-free.
+
+    The anti-join key is ``xxhash64(line)`` in BOTH modes (8-byte keys;
+    a collision only over-removes — safe).  ``broadcast_hot=False``
+    switches the hot-set join from broadcast to shuffle: on a web-scale
+    corpus the >``max_doc_freq`` line set is NOT small, and broadcasting
+    it would OOM — the escape hatch mirrors ``lm_score``'s
+    ``broadcast_model``."""
+    lines = _exploded_lines(df, text_col, id_col, sep).withColumn(
+        "_lh", F.xxhash64("line")
+    )
+    hot = boilerplate_lines(df, text_col, id_col, max_doc_freq, sep).select(
+        F.xxhash64("line").alias("_lh")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, "_lh", "left_anti")
     ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
     reassembled = kept.groupBy("id").agg(
         F.array_join(

@@ -79,3 +79,61 @@ def test_remove_boilerplate_plan_broadcasts_hot_set(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_remove_boilerplate_shuffle_fallback_same_result_no_broadcast(spark):
+    # broadcast_hot=False is the web-scale path: identical output, and
+    # the optimized plan must not FORCE a broadcast hint on the hot set
+    # (AQE may still pick one at this toy size; the logical plan is what
+    # the gate controls, so pin the absence of the ResolvedHint).
+    texts = ["header\nalpha\nfooter", "header\nbeta\nfooter", "header\ngamma\nfooter"]
+    df = _docs(spark, texts)
+    bc = {
+        (r["id"], r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, "text", "doc_id", max_doc_freq=2).collect()
+    }
+    sh_df = remove_boilerplate_lines(
+        df, "text", "doc_id", max_doc_freq=2, broadcast_hot=False
+    )
+    sh = {
+        (r["id"], r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in sh_df.collect()
+    }
+    assert bc == sh
+    logical = sh_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnresolvedHint" not in logical and "broadcast" not in logical.lower()
+
+
+def test_remove_boilerplate_joins_on_line_hash_not_raw_string(spark):
+    # the anti-join exchanges 8-byte xxhash64 keys, never raw line text
+    df = _docs(spark, ["a\nb", "a\nc", "a\nd"])
+    plan = (
+        remove_boilerplate_lines(df, "text", "doc_id", broadcast_hot=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+
+
+def test_separator_is_literal_not_regex(spark):
+    # sep='.' must split on the DOT, not on every character; sep='|'
+    # must not be alternation
+    df = spark.createDataFrame(
+        [(0, "hot.u1"), (1, "hot.u2"), (2, "hot.u3")], "doc_id long, text string"
+    )
+    hot = {
+        r["line"]
+        for r in boilerplate_lines(df, "text", "doc_id", max_doc_freq=2, sep=".").collect()
+    }
+    assert hot == {"hot"}
+    df2 = spark.createDataFrame(
+        [(0, "nav|x"), (1, "nav|y"), (2, "nav|z")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            df2, "text", "doc_id", max_doc_freq=2, sep="|"
+        ).collect()
+    }
+    assert out == {0: "x", 1: "y", 2: "z"}
