@@ -21,8 +21,9 @@ Plan shape at scale:
   the same key the files are split by, so each output shard is written
   by exactly one task — no small-file explosion from tasks x shards
   cross products, and no hash balls-in-bins idling either) and emits
-  parquet `partitionBy("shard")`; the manifest is then derived from the
-  written files, never from a second execution of the input plan.
+  `partitionBy("shard")` files in parquet or JSONL (`format="json"` —
+  the shape training loaders stream); the manifest is then derived from
+  the written files, never from a second execution of the input plan.
 - `verify_shards` re-derives the manifest from the written files and
   anti-joins it against the expected manifest — a shard-count-sized
   comparison, never a row-level diff.
@@ -194,6 +195,9 @@ def shard_manifest_oracle_sql(
     )
 
 
+_SINK_FORMATS = {"parquet", "json"}
+
+
 def write_sharded(
     df: DataFrame,
     path: str,
@@ -202,9 +206,19 @@ def write_sharded(
     n_shards: int = 64,
     seed: int = 0,
     mode: str = "error",
+    format: str = "parquet",
 ) -> DataFrame:
-    """Materialize ``df`` as ``n_shards`` deterministic parquet shards
-    under ``path`` plus a ``_manifest`` parquet, and return the manifest.
+    """Materialize ``df`` as ``n_shards`` deterministic shards under
+    ``path`` plus a ``_manifest`` parquet, and return the manifest.
+
+    ``format`` is ``'parquet'`` (default) or ``'json'`` (JSONL — one
+    object per line, the shape training loaders stream).  The shard
+    assignment, range-partitioned write, and manifest are identical in
+    both formats: fingerprints are computed from the written rows'
+    VALUES, so the manifest is format-independent.  For JSONL the
+    read-back uses the input's explicit schema (JSON inference would
+    drop a column that is null in every row, and the manifest must see
+    every checksum column).
 
     The data is range-repartitioned BY the shard column before the
     partitioned write: each shard directory is produced by exactly one
@@ -223,6 +237,8 @@ def write_sharded(
             "write_sharded: input already has a 'shard' column — rename "
             "it first (the sink reserves 'shard' for its assignment)"
         )
+    if format not in _SINK_FORMATS:
+        raise ValueError(f"format must be one of {sorted(_SINK_FORMATS)}, got {format!r}")
     _checked_fp_cols(df, id_col, checksum_cols)
     data_path = os.path.join(path, "data")
     shard = shard_expr(id_col, n_shards, seed)
@@ -231,9 +247,13 @@ def write_sharded(
         .repartitionByRange(int(n_shards), "shard")
         .write.mode(mode)
         .partitionBy("shard")
-        .parquet(data_path)
+        .format(format)
+        .save(data_path)
     )
-    written = df.sparkSession.read.parquet(data_path).drop("shard")
+    reader = df.sparkSession.read
+    if format == "json":
+        reader = reader.schema(df.schema)
+    written = reader.format(format).load(data_path).drop("shard")
     manifest = shard_manifest(written, id_col, checksum_cols, n_shards, seed)
     manifest.coalesce(1).write.mode(mode).parquet(os.path.join(path, "_manifest"))
     return manifest
@@ -246,13 +266,16 @@ def verify_shards(
     checksum_cols: list[str],
     n_shards: int = 64,
     seed: int = 0,
+    format: str = "parquet",
 ) -> DataFrame:
     """Re-derive the manifest from the files under ``path`` and diff it
     against the stored one.  Returns violations: (shard, kind) where
     kind in ('missing', 'extra', 'mismatch') — empty means the export
     is intact.  Cost: one scan of the data + a shard-count-sized join.
     """
-    data = spark.read.parquet(os.path.join(path, "data"))
+    if format not in _SINK_FORMATS:
+        raise ValueError(f"format must be one of {sorted(_SINK_FORMATS)}, got {format!r}")
+    data = spark.read.format(format).load(os.path.join(path, "data"))
     stored = spark.read.parquet(os.path.join(path, "_manifest"))
     actual = shard_manifest(
         data.drop("shard"), id_col, checksum_cols, n_shards, seed

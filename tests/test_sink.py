@@ -73,6 +73,53 @@ def test_write_verify_round_trip(spark, tmp_path):
     assert back.select("doc_id").distinct().count() == len(ROWS)
 
 
+def test_write_verify_round_trip_jsonl(spark, tmp_path):
+    # JSONL export: same shard assignment and manifest as parquet
+    # (fingerprints are value-based, format-independent), verify_shards
+    # empty, every row preserved on read-back.
+    df = _mk(spark)
+    path = str(tmp_path / "export_json")
+    manifest = write_sharded(
+        df, path, "doc_id", ["text", "lang"], n_shards=4, seed=1, format="json"
+    )
+    ppath = str(tmp_path / "export_pq")
+    pq_manifest = write_sharded(df, ppath, "doc_id", ["text", "lang"], n_shards=4, seed=1)
+    key = lambda m: sorted((r["shard"], r["n_rows"], r["checksum"]) for r in m.collect())
+    assert key(manifest) == key(pq_manifest)
+    data_dir = os.path.join(path, "data")
+    for d in os.listdir(data_dir):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(data_dir, d)) if f.endswith(".json")]
+            assert len(files) == 1, (d, files)
+    assert (
+        verify_shards(
+            spark, path, "doc_id", ["text", "lang"], n_shards=4, seed=1, format="json"
+        ).count()
+        == 0
+    )
+    back = spark.read.schema(SCHEMA).json(data_dir)
+    assert back.count() == len(ROWS)
+    assert back.select("doc_id").distinct().count() == len(ROWS)
+    # the files are genuine JSONL: one parseable object per line
+    import json
+
+    shard_dir = next(d for d in sorted(os.listdir(data_dir)) if d.startswith("shard="))
+    fname = next(
+        f for f in os.listdir(os.path.join(data_dir, shard_dir)) if f.endswith(".json")
+    )
+    with open(os.path.join(data_dir, shard_dir, fname)) as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    assert lines and all("doc_id" in obj for obj in lines)
+
+
+def test_write_sharded_rejects_unknown_format(spark, tmp_path):
+    df = _mk(spark)
+    with pytest.raises(ValueError, match="format"):
+        write_sharded(df, str(tmp_path / "x"), "doc_id", ["text"], format="csv")
+    with pytest.raises(ValueError, match="format"):
+        verify_shards(spark, str(tmp_path / "x"), "doc_id", ["text"], format="orc")
+
+
 def test_verify_detects_tampering(spark, tmp_path):
     df = _mk(spark)
     path = str(tmp_path / "export")
