@@ -1318,8 +1318,10 @@ _BMP_PARQUET = os.path.join(
 # Real-PNG fixture with encode-time truth columns (zlib output is not
 # hex-parsable in SQL, so the DuckDB oracle reads the truth columns —
 # equality proves a compress->decode round trip through all 5 filters).
+# v2: color types rotate gray/RGB/RGBA/PALETTED — the PLTE lookup path
+# is oracle-checked too; the filename bump regenerates older fixtures.
 _PNG_PARQUET = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v1.parquet"
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v2.parquet"
 )
 
 # Integer-valued well-separated cluster fixture for the distributed

@@ -254,14 +254,16 @@ def write_bmp_assets_parquet(path: str, n: int = 64, seed: int = 43) -> str:
 
 # ---------------------------------------------------------------------------
 # PNG: real codec-free decode via stdlib zlib (RFC 2083).  Supported:
-# bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA, alpha dropped),
-# non-interlaced.  Interlaced/sub-byte/paletted payloads raise
-# NotImplementedError — those are rare in training corpora and would
-# need a real codec dependency to validate against.
+# bit depth 8, color types 0 (gray), 2 (RGB), 3 (paletted, PLTE lookup),
+# 6 (RGBA, alpha dropped), non-interlaced.  Interlaced/sub-byte/16-bit
+# payloads raise NotImplementedError — those would need a real codec
+# dependency to validate against; 8-bit palette PNGs are common in web
+# corpora and are a pure table lookup after the inflate+unfilter.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# bytes per pixel in the FILTERED scanline stream (paletted = 1 index byte)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -347,10 +349,21 @@ def synth_png_bytes(
 
     Returns (file bytes, pixels) where ``pixels`` is the decoded truth
     as (height, width, 3) uint8 RGB — gray replicated across channels,
-    RGBA with the alpha channel dropped (matching :func:`_decode_png`).
+    RGBA with the alpha channel dropped, paletted (color type 3)
+    resolved through a random PLTE (matching :func:`_decode_png`).
     """
     channels = _PNG_CHANNELS[color_type]
-    samples = rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    palette = None
+    if color_type == 3:
+        n_colors = int(rng.integers(4, 33))
+        palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        samples = rng.integers(
+            0, n_colors, size=(height, width, 1), dtype=np.uint8
+        )
+    else:
+        samples = rng.integers(
+            0, 256, size=(height, width, channels), dtype=np.uint8
+        )
     raw_rows = samples.reshape(height, width * channels)
     stream = bytearray()
     prior = np.zeros(width * channels, np.uint8)
@@ -360,14 +373,16 @@ def synth_png_bytes(
         stream.extend(_png_filter_row(ftype, raw_rows[r], prior, channels).tobytes())
         prior = raw_rows[r]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    blob = (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
-        + _png_chunk(b"IEND", b"")
+    blob = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        blob += _png_chunk(b"PLTE", palette.tobytes())
+    blob += _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6)) + _png_chunk(
+        b"IEND", b""
     )
     if color_type == 0:
         pixels = np.repeat(samples, 3, axis=2)
+    elif color_type == 3:
+        pixels = palette[samples.reshape(height, width)]
     elif color_type == 6:
         pixels = samples[:, :, :3].copy()
     else:
@@ -379,19 +394,35 @@ def _decode_png(b: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG bytes -> (height, width, 3) uint8 RGB.
 
     Pure stdlib: chunk walk, zlib inflate, the five standard scanline
-    filters.  Gray is replicated to 3 channels; RGBA drops alpha.
-    Paletted / sub-byte / 16-bit / interlaced payloads raise
-    NotImplementedError (they need a codec library to validate against).
+    filters.  Gray is replicated to 3 channels; RGBA drops alpha;
+    paletted (color type 3) resolves indices through the PLTE table.
+    Sub-byte / 16-bit / interlaced payloads raise NotImplementedError
+    (they need a codec library to validate against).  Structural damage
+    — truncated chunks, bad zlib stream, short scanline data, an index
+    past the palette — raises ValueError naming the defect, so a corrupt
+    asset surfaces as a diagnosable error instead of a bare
+    struct.error/zlib.error from inside the Arrow task.
     """
     pos = len(_PNG_MAGIC)
     width = height = color_type = -1
     interlace = 0
     idat = bytearray()
+    palette: np.ndarray | None = None
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
+        if pos + 12 + length > len(b):
+            raise ValueError(
+                f"decode_image: truncated PNG — chunk {tag!r} at byte {pos} "
+                f"declares {length} data bytes but only "
+                f"{len(b) - pos - 12} remain"
+            )
         data = b[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(
+                    f"decode_image: corrupt PNG — IHDR length {length} != 13"
+                )
             width, height, depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -399,21 +430,35 @@ def _decode_png(b: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"decode_image: PNG depth={depth} color_type={color_type} "
                     f"interlace={interlace} needs a codec library (Pillow); "
-                    "only 8-bit gray/RGB/RGBA non-interlaced decodes codec-free"
+                    "only 8-bit gray/RGB/RGBA/paletted non-interlaced "
+                    "decodes codec-free"
                 )
+        elif tag == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError(
+                    f"decode_image: corrupt PNG — PLTE length {length} "
+                    "not a positive multiple of 3"
+                )
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
             break
         pos += 12 + length
     if width < 0:
-        raise NotImplementedError("decode_image: PNG missing IHDR chunk")
+        raise ValueError("decode_image: PNG missing IHDR chunk")
     channels = _PNG_CHANNELS[color_type]
-    stream = zlib.decompress(bytes(idat))
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(
+            f"decode_image: corrupt PNG — zlib inflate of {len(idat)}-byte "
+            f"IDAT stream failed: {exc}"
+        ) from exc
     row_bytes = width * channels
     if len(stream) != height * (1 + row_bytes):
-        raise NotImplementedError(
-            "decode_image: PNG scanline stream length mismatch "
+        raise ValueError(
+            "decode_image: corrupt PNG — scanline stream length mismatch "
             f"({len(stream)} != {height * (1 + row_bytes)})"
         )
     out = np.empty((height, row_bytes), np.uint8)
@@ -427,6 +472,20 @@ def _decode_png(b: bytes) -> np.ndarray:
     px = out.reshape(height, width, channels)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError(
+                "decode_image: corrupt PNG — paletted (color type 3) "
+                "without a PLTE chunk"
+            )
+        idx = px.reshape(height, width)
+        hi = int(idx.max()) if idx.size else 0
+        if hi >= len(palette):
+            raise ValueError(
+                f"decode_image: corrupt PNG — palette index {hi} out of "
+                f"range for {len(palette)}-entry PLTE"
+            )
+        return palette[idx]
     if color_type == 6:
         return px[:, :, :3].copy()
     return px
@@ -438,7 +497,7 @@ def write_png_assets_parquet(path: str, n: int = 64, seed: int = 47) -> str:
     computed from the pre-compression pixel array.  zlib output is not
     hex-parsable in SQL, so the DuckDB oracle reads the truth columns:
     equality proves a real compress->decode round trip through every
-    scanline filter.  Color types rotate gray/RGB/RGBA."""
+    scanline filter.  Color types rotate gray/RGB/RGBA/paletted."""
     import os
 
     import pyarrow as pa
@@ -451,7 +510,7 @@ def write_png_assets_parquet(path: str, n: int = 64, seed: int = 47) -> str:
     for i in range(n):
         width = int(rng.integers(5, 33))
         height = int(rng.integers(6, 25))  # >= 6 rows: all 5 filters fire
-        color_type = (0, 2, 6)[i % 3]
+        color_type = (0, 2, 6, 3)[i % 4]
         blob, pixels = synth_png_bytes(width, height, rng, color_type)
         blobs.append(blob)
         widths.append(pixels.shape[1])
@@ -487,21 +546,27 @@ def decode_image(df: DataFrame) -> DataFrame:
     """Decode image payloads to pixel arrays — REAL for uncompressed
     24-bit BMP (pure numpy: header parse, stride/padding removal,
     bottom-up flip, BGR->RGB) and 8-bit PNG (stdlib zlib inflate + the
-    five standard scanline filters), dispatched on the file magic.
-    Output rows: (asset_id, width, height, pixels) with ``pixels`` the
-    flattened RGB values in top-down row-major order.
+    five standard scanline filters; gray/RGB/RGBA/paletted), dispatched
+    on the file magic.  Output rows: (asset_id, width, height, pixels)
+    with ``pixels`` the flattened RGB values in top-down row-major order.
 
     Formats that need a codec this container does not ship (JPEG,
-    paletted/interlaced PNG, ...) raise ``NotImplementedError`` (swap in
+    interlaced/16-bit PNG, ...) raise ``NotImplementedError`` (swap in
     ``PIL.Image.open`` on codec-enabled builds; the Spark plumbing —
-    schema, batching, Arrow shape — is the same either way).
+    schema, batching, Arrow shape — is the same either way).  Every
+    decode failure is re-raised with the offending ``asset_id`` prefixed.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widths, heights, pixel_lists = [], [], [], []
             for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
-                rgb = _decode_image_bytes(bytes(blob))
+                try:
+                    rgb = _decode_image_bytes(bytes(blob))
+                except (ValueError, NotImplementedError) as exc:
+                    # name the offending asset: an anonymous traceback
+                    # from inside a 1000-task stage is undebuggable
+                    raise type(exc)(f"asset_id={int(asset_id)}: {exc}") from exc
                 ids.append(int(asset_id))
                 widths.append(rgb.shape[1])
                 heights.append(rgb.shape[0])

@@ -578,7 +578,10 @@ def test_decode_image_png_roundtrip(spark):
     rng = np.random.default_rng(31)
     truth = {}
     rows = []
-    cases = [(0, 8, 7), (2, 13, 6), (2, 1, 1), (6, 9, 11), (0, 32, 5), (6, 5, 10)]
+    cases = [
+        (0, 8, 7), (2, 13, 6), (2, 1, 1), (6, 9, 11), (0, 32, 5), (6, 5, 10),
+        (3, 11, 8), (3, 1, 1), (3, 24, 6),  # paletted: PLTE lookup path
+    ]
     for asset_id, (ct, w, h) in enumerate(cases):
         blob, pixels = synth_png_bytes(w, h, rng, ct)
         truth[asset_id] = pixels
@@ -593,7 +596,7 @@ def test_decode_image_png_roundtrip(spark):
 
 
 def test_decode_image_png_unsupported_raises():
-    """Interlaced / 16-bit / paletted PNGs and non-PNG magics raise
+    """Interlaced / 16-bit PNGs and non-PNG magics raise
     NotImplementedError naming the missing codec, never mis-decode."""
     import struct
 
@@ -611,7 +614,7 @@ def test_decode_image_png_unsupported_raises():
     rng = np.random.default_rng(5)
     blob, _ = synth_png_bytes(4, 4, rng, 2)
     # flip fields inside IHDR (starts at byte 16: 8 magic + 8 len/tag)
-    for patch_off, val in [(24, 16), (25, 3), (28, 1)]:  # depth, palette, interlace
+    for patch_off, val in [(24, 16), (28, 1)]:  # depth 16, interlace
         bad = bytearray(blob)
         bad[patch_off] = val
         # recompute IHDR CRC so only the unsupported feature is at fault
@@ -623,8 +626,76 @@ def test_decode_image_png_unsupported_raises():
             _decode_png(bytes(bad))
     with pytest.raises(NotImplementedError):
         _decode_image_bytes(b"\xff\xd8\xff\xe0 jpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="IHDR"):
         _decode_png(_PNG_MAGIC + _png_chunk(b"IEND", b""))  # missing IHDR
+
+
+def test_decode_image_png_corrupt_payloads_raise_valueerror(spark):
+    """Structural damage raises ValueError naming the defect (and the
+    Spark path prefixes the asset id) — never a bare struct/zlib error
+    from inside the Arrow task."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest
+
+    from mgspark.pipeline.multimodal import (
+        _decode_png,
+        _png_chunk,
+        _PNG_MAGIC,
+        decode_image,
+        synth_png_bytes,
+    )
+
+    rng = np.random.default_rng(6)
+    blob, _ = synth_png_bytes(6, 5, rng, 2)
+    # 1. truncated: chunk declares more data than remains
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(bytes(blob[: len(blob) // 2]))
+    # 2. corrupt zlib stream in IDAT
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_idat = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00not zlib at all")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        _decode_png(bad_idat)
+    # 3. paletted without PLTE
+    pblob, _ = synth_png_bytes(4, 4, rng, 3)
+    no_plte = bytearray()
+    pos = len(_PNG_MAGIC)
+    no_plte += _PNG_MAGIC
+    while pos + 8 <= len(pblob):
+        (length,) = struct.unpack(">I", pblob[pos : pos + 4])
+        tag = pblob[pos + 4 : pos + 8]
+        if tag != b"PLTE":
+            no_plte += pblob[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(bytes(no_plte))
+    # 4. palette index out of range: shrink the PLTE to 1 entry
+    short = bytearray()
+    pos = len(_PNG_MAGIC)
+    short += _PNG_MAGIC
+    while pos + 8 <= len(pblob):
+        (length,) = struct.unpack(">I", pblob[pos : pos + 4])
+        tag = pblob[pos + 4 : pos + 8]
+        if tag == b"PLTE":
+            short += _png_chunk(b"PLTE", bytes(pblob[pos + 8 : pos + 11]))
+        else:
+            short += pblob[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(bytes(short))
+    # 5. the Spark path names the offending asset
+    df = spark.createDataFrame(
+        [(7, bytearray(blob[: len(blob) // 2]))], "asset_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="asset_id=7"):
+        decode_image(df).collect()
 
 
 def test_resize_image_png_matches_numpy_truth(spark):
