@@ -37,11 +37,19 @@ Two IDF modes:
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_oracle_sql"]
+__all__ = [
+    "bm25_topk",
+    "bm25_oracle_sql",
+    "BM25Index",
+    "bm25_build",
+    "bm25_topk_indexed",
+    "bm25_topk_cached",
+]
 
 
 def _dedupe(terms: list[str]) -> list[str]:
@@ -145,6 +153,172 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+@dataclass
+class BM25Index:
+    """Prebuilt BM25 state: repeated queries never rescan the corpus.
+
+    ``postings`` (term, id, tf, dl) and ``docs`` (id, dl) are persisted
+    and materialized at build time; ``n``/``total_dl`` are the corpus
+    scalars.  dl is denormalized into the postings so a query needs NO
+    join back to the docs table — ``docs`` exists only for the zero-
+    score fill when fewer than k documents match any query term.
+    """
+
+    postings: DataFrame
+    docs: DataFrame
+    n: int
+    total_dl: int
+
+    def unpersist(self) -> None:
+        for rel in (self.postings, self.docs):
+            try:
+                rel.unpersist()
+            except Exception:
+                pass
+
+
+def bm25_build(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
+    """Build the inverted index: two corpus scans at build time (one for
+    the postings, one for the per-document lengths), zero afterwards —
+    every subsequent :func:`bm25_topk_indexed` query reads only the
+    persisted postings/docs relations, never the text column.
+
+    Postings are ``groupBy(term, id)`` counts — combiner-aggregated, the
+    exchange carries (term, id, tf) not raw text.  Both relations
+    materialize eagerly so the query path cannot silently fall back to
+    a lineage recompute of the corpus scan.
+    """
+    from mgspark.cacheutil import transient_persist
+
+    toks = _tok_expr(text_col)
+    docs = transient_persist(
+        df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
+    )
+    docs.count()
+    postings = transient_persist(
+        df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"),
+                  F.explode(toks).alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    postings.count()
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+    ).first()
+    return BM25Index(
+        postings=postings,
+        docs=docs,
+        n=int(stats["n"]),
+        total_dl=int(stats["total_dl"]),
+    )
+
+
+def bm25_topk_indexed(
+    index: BM25Index,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+) -> DataFrame:
+    """Top-``k`` by BM25 against a prebuilt :class:`BM25Index` —
+    bit-identical scores to :func:`bm25_topk` (the per-term tf columns
+    are pivoted back out of the postings and fed through the IDENTICAL
+    expression in the identical order), zero corpus scans.
+
+    Plan: postings filtered to the q query terms (tiny isin filter) →
+    one small groupBy(term) for the document frequencies → one
+    pivot-by-term groupBy(id) for the matching documents' tf vector →
+    TakeOrdered top-k; documents matching no term score exactly 0.0 and
+    fill the tail (lowest id first) only when fewer than k match.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if idf not in ("lucene", "rational"):
+        raise ValueError(f"idf must be 'lucene' or 'rational', got {idf!r}")
+    terms = _dedupe([str(t) for t in query_terms])
+    n = index.n
+    if n == 0:
+        return index.docs.select(
+            F.col("id"), F.lit(0.0).alias("score")
+        ).where(F.lit(False))
+    avgdl = float(index.total_dl) / float(n) if index.total_dl > 0 else 1.0
+
+    hits = index.postings.where(F.col("term").isin(terms))
+    dfs = {r["term"]: int(r["n_df"]) for r in
+           hits.groupBy("term").agg(F.count(F.lit(1)).alias("n_df")).collect()}
+    # one combiner aggregate pivots the (few) query terms into per-term
+    # tf columns and carries dl along — no join back to the docs table
+    matched = hits.groupBy("id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    score = None
+    for i, t in enumerate(terms):
+        dfi = dfs.get(t, 0)
+        ratio = (float(n) - float(dfi) + 0.5) / (float(dfi) + 0.5)
+        w = math.log1p(ratio) if idf == "lucene" else ratio
+        tf = F.col(f"tf{i}").cast("double")
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = F.lit(float(w)) * (tf * F.lit(float(k1) + 1.0)) / denom
+        score = contrib if score is None else score + contrib
+
+    top = (
+        matched.select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    # zero-score fill: matching docs score strictly > 0, so the fill can
+    # only surface when fewer than k documents match any term
+    fill = (
+        index.docs.join(matched.select("id"), "id", "left_anti")
+        .orderBy(F.col("id").asc())
+        .limit(k)
+        .select("id", F.lit(0.0).alias("score"))
+    )
+    return (
+        top.unionByName(fill)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_cached(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+) -> DataFrame:
+    """:func:`bm25_topk` semantics with a session-cached index: the
+    first call on a logical input builds (and persists) the inverted
+    index, repeated calls — ANY query terms — skip the corpus scan
+    entirely.  Shares the plan-hash cache (and its eviction) with
+    lsh_build/ivf_build."""
+    from mgspark.pipeline.similarity import _index_cache_get
+
+    index = _index_cache_get(
+        "bm25",
+        df,
+        (text_col, id_col),
+        lambda: bm25_build(df, text_col, id_col),
+    )
+    return bm25_topk_indexed(index, query_terms, k=k, k1=k1, b=b, idf=idf)
 
 
 def bm25_oracle_sql(

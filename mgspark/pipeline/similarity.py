@@ -559,11 +559,20 @@ def clear_index_cache() -> None:
     ``_INDEX_CACHE`` directly.
     """
     for idx in _INDEX_CACHE.values():
-        try:
-            idx.indexed.unpersist()
-        except Exception:
-            pass
+        _unpersist_index(idx)
     _INDEX_CACHE.clear()
+
+
+def _unpersist_index(idx) -> None:
+    # LSH/IVF indexes expose one .indexed DataFrame; other kinds (BM25)
+    # own several persisted relations behind an unpersist() method.
+    try:
+        if hasattr(idx, "unpersist"):
+            idx.unpersist()
+        else:
+            idx.indexed.unpersist()
+    except Exception:
+        pass
 
 
 def clear_ivf_cache() -> None:
@@ -583,11 +592,7 @@ def _index_cache_get(kind: str, df: DataFrame, params: tuple, build):
         while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             # FIFO: evict the OLDEST entry (dicts iterate in insertion
             # order); plain popitem() would pop the newest and thrash.
-            evicted = _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
-            try:
-                evicted.indexed.unpersist()
-            except Exception:
-                pass
+            _unpersist_index(_INDEX_CACHE.pop(next(iter(_INDEX_CACHE))))
         _INDEX_CACHE[key] = build()
     return _INDEX_CACHE[key]
 
