@@ -541,6 +541,8 @@ def _history_scaling() -> dict:
             (p28.get("best_pair_efficiency") or p28["efficiency"]) if p28 else None
         ),
         "current_run_efficiency": None,
+        "degraded": None,
+        "host_window_ratio": None,
         "pairs_measured": [],
         "pairs_from_history": sorted(
             k for k in ("sketch_2v8", "preagg_2v8", "preagg_8v32") if k in history
@@ -576,6 +578,13 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
             with_cpu_probe=True)),
         ("sketch_2v8", lambda: _scale_pair(2, 8, warm_dir, warm_dir, rounds=1)),
     ]
+    # MGSPARK_BENCH_PAIRS=sketch_2v8[,preagg_2v8,...] restricts the plan —
+    # used to re-accumulate one pair's history from a clean host window
+    # without paying for the others.
+    only = os.environ.get("MGSPARK_BENCH_PAIRS")
+    if only:
+        wanted = {p.strip() for p in only.split(",") if p.strip()}
+        plan = [(n, t) for n, t in plan if n in wanted]
     ran, skipped, errors = {}, [], {}
     pair_cost = 0.0
     for i, (name, thunk) in enumerate(plan):
@@ -604,6 +613,20 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
     # capacity and would make the job look super-ceiling (>100%).
     host_now = getattr(_scale_pair, "last_probe", None)
     host = _merge_probe_history(host_now)
+    # Degraded-window detection (VERDICT r4 #5): when this run's own
+    # host probe is materially slower than the best-observed window, the
+    # artifacts of record must say so — a steal-window sample otherwise
+    # reads as a code regression.  Ratio = worst leg of probe time vs
+    # the best window's same leg; >1.5x marks the run degraded.
+    degraded = None
+    host_window_ratio = None
+    if host_now is not None and host is not None:
+        legs = [k for k in host_now if k.endswith("_sec") and k in host]
+        if legs:
+            host_window_ratio = round(
+                max(host_now[k] / host[k] for k in legs), 3
+            )
+            degraded = host_window_ratio > 1.5
     p832 = best.get("preagg_8v32")
     job_speedup = (
         p832["local32_tokens_per_sec"] / p832["local8_tokens_per_sec"]
@@ -628,6 +651,9 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
         "current_run_efficiency": (
             ran["preagg_2v8"]["efficiency"] if "preagg_2v8" in ran else None
         ),
+        # Window health: None when the probe did not run this invocation.
+        "degraded": degraded,
+        "host_window_ratio": host_window_ratio,
         # Evidence trail: which pairs this invocation measured fresh vs
         # reported from best-observed history (degraded-window skips),
         # plus any worker failures — never silently.
@@ -644,6 +670,16 @@ def write_bench_md(queries, meta, scaling) -> None:
     lines = [
         "# BENCH — measured performance (local sandbox)",
         "",
+    ]
+    if scaling.get("degraded"):
+        lines += [
+            "> **DEGRADED HOST WINDOW**: this invocation's own CPU probe ran "
+            f"{scaling.get('host_window_ratio')}x slower than the best-observed "
+            "window — absolute times below are inflated by host steal, not by "
+            "code; compare best-observed columns / history instead.",
+            "",
+        ]
+    lines += [
         f"Input: synthetic repo table ({REPO_ROWS} rows headline / {SCALE_ROWS} rows scaling, "
         "128 parquet files each, seed=42)",
         f"+ driver testdata at `{SF_DIR}`.",
@@ -820,6 +856,62 @@ def write_bench_md(queries, meta, scaling) -> None:
         f.write("\n".join(lines))
 
 
+# The driver's tail capture is ~2000 chars; the compact stdout line must
+# fit inside it WITH margin however large the query registry grows.
+_EMIT_LINE_BUDGET = 1800
+
+
+def compact_emit_line(result: dict) -> str:
+    """The single stdout JSON line, sized for the driver's tail capture.
+
+    r3 and r4 both shipped a front-truncated, unparseable line because
+    the full result (every query, the full scaling object) outgrew the
+    capture window — so stdout carries the headline value, the 15
+    slowest queries, a flat scaling summary, and a pointer to
+    BENCH/last_run.json (which always holds the complete object).  If
+    the registry grows the line past the budget, the slowest-query list
+    shrinks until it fits.
+    """
+    queries = result.get("queries", {})
+    scaling = result.get("scaling") or {}
+    ranked = sorted(
+        ((k, round(v, 2)) for k, v in queries.items()), key=lambda kv: -kv[1]
+    )
+    keep = 15
+    while True:
+        compact = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "n_queries": len(queries),
+            "queries": dict(ranked[:keep]),
+            "queries_note": f"{min(keep, len(ranked))} slowest; full map in BENCH/last_run.json",
+            "throughput_tokens_per_sec": result["throughput_tokens_per_sec"],
+            "preagg_throughput_tokens_per_sec": result[
+                "preagg_throughput_tokens_per_sec"
+            ],
+            "scaling": {
+                "efficiency": scaling.get("efficiency"),
+                "current_run_efficiency": scaling.get("current_run_efficiency"),
+                "preagg_8v32_vs_host_ceiling": scaling.get(
+                    "preagg_8v32_vs_host_ceiling"
+                ),
+                "degraded": scaling.get("degraded"),
+                "host_window_ratio": scaling.get("host_window_ratio"),
+                "pairs_measured": scaling.get("pairs_measured"),
+                "pairs_from_history": scaling.get("pairs_from_history"),
+            },
+            "full": "BENCH/last_run.json",
+        }
+        if "partial" in result:
+            compact["partial"] = result["partial"]
+        line = json.dumps(compact)
+        if len(line) <= _EMIT_LINE_BUDGET or keep == 0:
+            return line
+        keep -= 3
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
         pre = "--pre" in sys.argv
@@ -842,12 +934,15 @@ def main() -> None:
     meta["query_best_observed"] = _merge_query_history(queries, sf_token, CPUS)
 
     def emit(scaling, partial: bool) -> None:
-        # The driver captures stdout's last line, which tail-truncation
-        # has mangled before (VERDICT r3 #4) — persist the full object to
-        # a self-contained artifact every roll.  Emitted once with the
-        # headline results (scaling from history) and again after the
-        # scaling phase, so a run killed mid-scaling still leaves a
-        # complete JSON line on stdout AND on disk.
+        # The driver captures only the LAST ~2000 chars of stdout, which
+        # front-truncated the full result line in r3 AND r4 ("parsed":
+        # null) — so the full object goes to BENCH/last_run.json every
+        # roll, and stdout gets a COMPACT line (slowest queries only, a
+        # flat scaling summary, a pointer to the file) sized to survive
+        # the capture window with margin.  Emitted once with the headline
+        # results (scaling from history) and again after the scaling
+        # phase, so a run killed mid-scaling still leaves a complete
+        # JSON line on stdout AND on disk.
         result = {
             "metric": "mg_build_merge_and_query_wall",
             "value": round(sum(queries.values()), 4),
@@ -865,7 +960,7 @@ def main() -> None:
             json.dump(result, f, indent=1)
             f.write("\n")
         os.replace(path + ".tmp", path)
-        print(json.dumps(result), flush=True)
+        print(compact_emit_line(result), flush=True)
 
     emit(_history_scaling(), partial=True)
     scaling = run_scaling(scale_dir, repo_dir)

@@ -155,3 +155,120 @@ def test_write_bench_md_handles_missing_pairs(history_file):
     md = (history_file.parent / "BASELINE.md").read_text()
     assert "no data" in md  # absent pair reported, not crashed
     assert "best-observed history" in md
+
+
+def _full_result(queries, scaling):
+    return {
+        "metric": "mg_build_merge_and_query_wall",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "throughput_tokens_per_sec": 5_300_000,
+        "preagg_throughput_tokens_per_sec": 57_000_000,
+        "scaling": scaling,
+    }
+
+
+def test_compact_emit_line_fits_capture_window(history_file):
+    # A registry far past today's 87 rows must still fit the driver's
+    # tail capture with margin (VERDICT r4 #4: r3 AND r4 shipped
+    # "parsed": null because the full line outgrew the window).
+    queries = {f"q_operator_family_variant_{i:03d}": float(i) for i in range(200)}
+    line = bench.compact_emit_line(_full_result(queries, bench._history_scaling()))
+    assert len(line) <= bench._EMIT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 200
+    assert parsed["value"] == sum(queries.values())
+    # Slowest-first ordering, truncated list, pointer to the full object.
+    kept = list(parsed["queries"].values())
+    assert kept == sorted(kept, reverse=True)
+    assert len(kept) <= 15
+    assert parsed["full"] == "BENCH/last_run.json"
+    assert "efficiency" in parsed["scaling"]
+    assert "partial" not in parsed
+
+
+def test_compact_emit_line_shrinks_under_hostile_names(history_file):
+    # Pathologically long query names force the slowest-list to shrink
+    # rather than the line to overflow.
+    queries = {("q_" + "x" * 300 + str(i)): float(i) for i in range(40)}
+    result = _full_result(queries, bench._history_scaling())
+    result["partial"] = True
+    line = bench.compact_emit_line(result)
+    assert len(line) <= bench._EMIT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 40
+    assert len(parsed["queries"]) < 15
+    assert parsed["partial"] is True
+
+
+def test_run_scaling_flags_degraded_host_window(history_file, monkeypatch):
+    # VERDICT r4 #5: a steal-window sample must be marked, not recorded
+    # as if it were a clean measurement.
+    def fake_scale_pair(low, high, *a, **k):
+        if k.get("with_cpu_probe"):
+            fake_scale_pair.last_probe = {
+                "local8_sec": 2.0,   # best-observed window: 1.0
+                "local32_sec": 0.8,  # best-observed window: 0.4
+                "speedup": 2.5,
+                "efficiency": 0.625,
+                "max_steal_pct": 40.0,
+            }
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", None)
+    s = bench.run_scaling("scale", "warm")
+    assert s["host_window_ratio"] == 2.0
+    assert s["degraded"] is True
+    # The degraded banner reaches the markdown artifact.
+    queries = {"q": 1.0}
+    meta = {
+        "repo_tokens_per_sec": 1, "preagg_tokens_per_sec": 1,
+        "repo_tokens": 1, "query_runs": {}, "query_best_observed": {},
+    }
+    bench.write_bench_md(queries, meta, s)
+    md = (history_file.parent / "BASELINE.md").read_text()
+    assert "DEGRADED HOST WINDOW" in md
+
+
+def test_run_scaling_clean_window_not_degraded(history_file, monkeypatch):
+    def fake_scale_pair(low, high, *a, **k):
+        if k.get("with_cpu_probe"):
+            fake_scale_pair.last_probe = {
+                "local8_sec": 1.0,
+                "local32_sec": 0.4,
+                "speedup": 2.5,
+                "efficiency": 0.625,
+                "max_steal_pct": 0.1,
+            }
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", None)
+    s = bench.run_scaling("scale", "warm")
+    assert s["degraded"] is False
+    assert s["host_window_ratio"] == 1.0
+
+
+def test_run_scaling_pair_filter_env(history_file, monkeypatch):
+    # MGSPARK_BENCH_PAIRS restricts the measurement plan (used to
+    # re-accumulate one pair's history from a clean window).
+    calls = []
+
+    def fake_scale_pair(low, high, *a, **k):
+        calls.append((low, high, k.get("pre_aggregate", False)))
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", None)
+    monkeypatch.setenv("MGSPARK_BENCH_PAIRS", "sketch_2v8")
+    s = bench.run_scaling("scale", "warm")
+    assert calls == [(2, 8, False)]
+    assert s["pairs_measured"] == ["sketch_2v8"]
+    # Unmeasured pairs still report from history.
+    assert s["preagg_2v8"]["best_pair_efficiency"] == 0.99
