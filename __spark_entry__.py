@@ -2296,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mgspark.pipeline.bpe import WS_REGEX as _WS_REGEX_SQL
     from mgspark.pipeline.retrieval import bm25_oracle_sql
     from mgspark.pipeline.sink import shard_manifest_oracle_sql
 
@@ -2373,8 +2374,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", ["text", "lang"], n_shards=16, seed=7,
             text_col="text",
         ),
+        # whitespace split via the explicit class pipeline/bpe.WS_REGEX
+        # pins on BOTH engines (Java \s includes \x0B, RE2's does not)
         "bpe_word_counts_top": (
-            "WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word "
+            f"WITH w AS (SELECT unnest(string_split_regex(text, '{_WS_REGEX_SQL}')) AS word "
             "FROM documents) "
             "SELECT word, COUNT(*)::BIGINT AS cnt FROM w WHERE word <> '' "
             "GROUP BY word ORDER BY cnt DESC, word LIMIT 50"
@@ -2384,7 +2387,7 @@ def oracle_sql() -> dict[str, str]:
             # is computed Spark-side as distributed aggregates; the
             # oracle pins the universe: every distinct word checked, all
             # of them round-tripping
-            "WITH w AS (SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS word "
+            f"WITH w AS (SELECT DISTINCT unnest(string_split_regex(text, '{_WS_REGEX_SQL}')) AS word "
             "FROM documents) "
             "SELECT COUNT(*)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_roundtrip_ok "
             "FROM w WHERE word <> ''"

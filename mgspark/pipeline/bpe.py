@@ -36,12 +36,19 @@ __all__ = [
 
 END_OF_WORD = "</w>"
 
+# Whitespace as an EXPLICIT character class, not \s: Java regex \s
+# includes vertical tab (\x0B) while RE2's (DuckDB string_split_regex)
+# does not, so a document containing \x0B would tokenize differently in
+# Spark vs an oracle replaying \s+.  Both engines support the \xHH
+# escape, so the same literal class is pinned on both sides.
+WS_REGEX = "[ \\t\\n\\f\\r\\x0B]+"
+
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt) over whitespace-split text — one explode into a
     combiner groupBy; empty tokens from leading/trailing runs dropped."""
     return (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        df.select(F.explode(F.split(F.col(text_col), WS_REGEX)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
