@@ -1380,9 +1380,12 @@ _BMP_PARQUET = os.path.join(
 # hex-parsable in SQL, so the DuckDB oracle reads the truth columns —
 # equality proves a compress->decode round trip through all 5 filters).
 # v2: color types rotate gray/RGB/RGBA/PALETTED — the PLTE lookup path
-# is oracle-checked too; the filename bump regenerates older fixtures.
+# is oracle-checked too.  v3: 16-bit depth and Adam7 interlacing rotate
+# across the non-paletted rows, so every decode path (all five filters x
+# all four color types x both depths x plain/interlaced) is driver-
+# checked; the filename bump regenerates older fixtures.
 _PNG_PARQUET = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v2.parquet"
+    os.path.dirname(os.path.abspath(__file__)), ".fixtures", "png_assets_v3.parquet"
 )
 
 # Integer-valued well-separated cluster fixture for the distributed

@@ -9,10 +9,11 @@ metadata/feature stages, and REAL image files for the decode stage:
 uncompressed 24-bit BMP (``write_bmp_assets_parquet``) and PNG
 (``write_png_assets_parquet``) — both decoded codec-free, BMP in pure
 numpy and PNG via stdlib ``zlib`` + the five standard scanline filters
-(None/Sub/Up/Average/Paeth, gray/RGB/RGBA at bit depth 8).  Formats
-that genuinely need a codec library this container does not ship
-(JPEG, audio/video codecs, interlaced or sub-byte PNG) raise
-``NotImplementedError`` with the dependency named.
+(None/Sub/Up/Average/Paeth; 8/16-bit gray/RGB/RGBA and 8-bit paletted,
+plain or Adam7-interlaced).  Formats that genuinely need a codec
+library this container does not ship (JPEG, audio/video codecs,
+sub-byte-depth PNG) raise ``NotImplementedError`` with the dependency
+named.
 """
 
 from __future__ import annotations
@@ -254,16 +255,38 @@ def write_bmp_assets_parquet(path: str, n: int = 64, seed: int = 43) -> str:
 
 # ---------------------------------------------------------------------------
 # PNG: real codec-free decode via stdlib zlib (RFC 2083).  Supported:
-# bit depth 8, color types 0 (gray), 2 (RGB), 3 (paletted, PLTE lookup),
-# 6 (RGBA, alpha dropped), non-interlaced.  Interlaced/sub-byte/16-bit
-# payloads raise NotImplementedError — those would need a real codec
-# dependency to validate against; 8-bit palette PNGs are common in web
-# corpora and are a pure table lookup after the inflate+unfilter.
+# bit depths 8 and 16 (16-bit samples normalized to 8 by the high byte),
+# color types 0 (gray), 2 (RGB), 3 (paletted, PLTE lookup, 8-bit only),
+# 6 (RGBA, alpha dropped), non-interlaced AND Adam7-interlaced (seven
+# independently filtered sub-image passes).  Sub-byte depths raise
+# NotImplementedError — those would need a real codec dependency to
+# validate against; 8-bit palette and interlaced PNGs are common in web
+# corpora.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# bytes per pixel in the FILTERED scanline stream (paletted = 1 index byte)
+# samples per pixel in the FILTERED scanline stream (paletted = 1 index)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, in stream order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_width, pass_height) for the seven
+    Adam7 passes; empty passes (small images) yield zero dims and carry
+    no scanline data."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        yield x0, y0, dx, dy, pw, ph
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -338,21 +361,45 @@ def _png_unfilter_row(
     raise NotImplementedError(f"decode_image: unknown PNG filter type {ftype}")
 
 
+def _png_filter_stream(raw_rows: np.ndarray, bpp: int) -> bytearray:
+    """Filter a (rows, row_bytes) byte block into a PNG scanline stream,
+    cycling filter types 0..4 so every filter is exercised on decode."""
+    stream = bytearray()
+    prior = np.zeros(raw_rows.shape[1] if len(raw_rows) else 0, np.uint8)
+    for r in range(len(raw_rows)):
+        ftype = r % 5
+        stream.append(ftype)
+        stream.extend(_png_filter_row(ftype, raw_rows[r], prior, bpp).tobytes())
+        prior = raw_rows[r]
+    return stream
+
+
 def synth_png_bytes(
     width: int,
     height: int,
     rng: np.random.Generator,
     color_type: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
 ) -> tuple[bytes, np.ndarray]:
-    """One real 8-bit PNG with random pixels; per-row filter types cycle
-    0..4 so every standard scanline filter is exercised on decode.
+    """One real PNG with random pixels; per-row filter types cycle 0..4
+    so every standard scanline filter is exercised on decode.
+
+    ``depth`` may be 8 or 16 (16-bit samples are big-endian per the
+    spec; the truth below normalizes them by the high byte, matching
+    :func:`_decode_png`).  ``interlace=1`` emits Adam7: seven
+    independently filtered sub-image passes in stream order.
 
     Returns (file bytes, pixels) where ``pixels`` is the decoded truth
     as (height, width, 3) uint8 RGB — gray replicated across channels,
     RGBA with the alpha channel dropped, paletted (color type 3)
     resolved through a random PLTE (matching :func:`_decode_png`).
     """
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ValueError(f"synth_png_bytes: unsupported depth={depth} "
+                         f"for color_type={color_type}")
     channels = _PNG_CHANNELS[color_type]
+    bpp = channels * depth // 8
     palette = None
     if color_type == 3:
         n_colors = int(rng.integers(4, 33))
@@ -360,51 +407,68 @@ def synth_png_bytes(
         samples = rng.integers(
             0, n_colors, size=(height, width, 1), dtype=np.uint8
         )
+    elif depth == 16:
+        samples = rng.integers(
+            0, 1 << 16, size=(height, width, channels), dtype=np.uint16
+        )
     else:
         samples = rng.integers(
             0, 256, size=(height, width, channels), dtype=np.uint8
         )
-    raw_rows = samples.reshape(height, width * channels)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        """(h', w', channels) samples -> (h', w'*bpp) big-endian bytes."""
+        h = sub.shape[0]
+        kind = ">u2" if depth == 16 else np.uint8
+        return np.frombuffer(
+            np.ascontiguousarray(sub).astype(kind).tobytes(), np.uint8
+        ).reshape(h, -1)
+
     stream = bytearray()
-    prior = np.zeros(width * channels, np.uint8)
-    for r in range(height):
-        ftype = r % 5
-        stream.append(ftype)
-        stream.extend(_png_filter_row(ftype, raw_rows[r], prior, channels).tobytes())
-        prior = raw_rows[r]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            if pw and ph:
+                stream.extend(_png_filter_stream(byte_rows(samples[y0::dy, x0::dx]), bpp))
+    else:
+        stream.extend(_png_filter_stream(byte_rows(samples), bpp))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
     blob = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         blob += _png_chunk(b"PLTE", palette.tobytes())
     blob += _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6)) + _png_chunk(
         b"IEND", b""
     )
+    base = (samples >> 8).astype(np.uint8) if depth == 16 else samples
     if color_type == 0:
-        pixels = np.repeat(samples, 3, axis=2)
+        pixels = np.repeat(base, 3, axis=2)
     elif color_type == 3:
-        pixels = palette[samples.reshape(height, width)]
+        pixels = palette[base.reshape(height, width)]
     elif color_type == 6:
-        pixels = samples[:, :, :3].copy()
+        pixels = base[:, :, :3].copy()
     else:
-        pixels = samples
+        pixels = base
     return blob, pixels
 
 
 def _decode_png(b: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG bytes -> (height, width, 3) uint8 RGB.
+    """PNG bytes -> (height, width, 3) uint8 RGB.
 
     Pure stdlib: chunk walk, zlib inflate, the five standard scanline
-    filters.  Gray is replicated to 3 channels; RGBA drops alpha;
-    paletted (color type 3) resolves indices through the PLTE table.
-    Sub-byte / 16-bit / interlaced payloads raise NotImplementedError
-    (they need a codec library to validate against).  Structural damage
-    — truncated chunks, bad zlib stream, short scanline data, an index
-    past the palette — raises ValueError naming the defect, so a corrupt
-    asset surfaces as a diagnosable error instead of a bare
+    filters; bit depths 8 and 16 (16-bit samples normalized by the high
+    byte); non-interlaced and Adam7-interlaced streams (each of the
+    seven passes is an independently filtered sub-image, scattered back
+    onto the pass grid).  Gray is replicated to 3 channels; RGBA drops
+    alpha; paletted (color type 3) resolves indices through the PLTE
+    table.  Sub-byte depths raise NotImplementedError (they need a
+    codec library to validate against).  Structural damage — truncated
+    chunks, bad zlib stream, short scanline data, an index past the
+    palette — raises ValueError naming the defect, so a corrupt asset
+    surfaces as a diagnosable error instead of a bare
     struct.error/zlib.error from inside the Arrow task.
     """
     pos = len(_PNG_MAGIC)
     width = height = color_type = -1
+    depth = 8
     interlace = 0
     idat = bytearray()
     palette: np.ndarray | None = None
@@ -426,12 +490,17 @@ def _decode_png(b: bytes) -> np.ndarray:
             width, height, depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+            if (
+                depth not in (8, 16)
+                or color_type not in _PNG_CHANNELS
+                or (depth == 16 and color_type == 3)
+                or interlace not in (0, 1)
+            ):
                 raise NotImplementedError(
                     f"decode_image: PNG depth={depth} color_type={color_type} "
                     f"interlace={interlace} needs a codec library (Pillow); "
-                    "only 8-bit gray/RGB/RGBA/paletted non-interlaced "
-                    "decodes codec-free"
+                    "only 8/16-bit gray/RGB/RGBA and 8-bit paletted "
+                    "(plain or Adam7) decode codec-free"
                 )
         elif tag == b"PLTE":
             if length % 3 or length == 0:
@@ -455,21 +524,49 @@ def _decode_png(b: bytes) -> np.ndarray:
             f"decode_image: corrupt PNG — zlib inflate of {len(idat)}-byte "
             f"IDAT stream failed: {exc}"
         ) from exc
-    row_bytes = width * channels
-    if len(stream) != height * (1 + row_bytes):
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
+
+    def unfilter_block(off: int, rows: int, row_bytes: int) -> tuple[np.ndarray, int]:
+        out = np.empty((rows, row_bytes), np.uint8)
+        prior = bytearray(row_bytes)
+        for r in range(rows):
+            ftype = stream[off]
+            row = bytearray(stream[off + 1 : off + 1 + row_bytes])
+            if len(row) != row_bytes:
+                raise ValueError(
+                    "decode_image: corrupt PNG — scanline stream ends "
+                    f"mid-row ({len(row)} of {row_bytes} bytes)"
+                )
+            prior = _png_unfilter_row(ftype, row, prior, bpp)
+            out[r] = np.frombuffer(bytes(prior), np.uint8)
+            off += 1 + row_bytes
+        return out, off
+
+    def to_samples(block: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """(rows, cols*bpp) unfiltered bytes -> (rows, cols, channels)
+        uint8 samples (16-bit normalized by the high byte)."""
+        b4 = block.reshape(rows, cols, channels, sample_bytes)
+        return b4[..., 0]  # big-endian: byte 0 IS the high byte
+
+    passes = (
+        list(_adam7_passes(width, height))
+        if interlace
+        else [(0, 0, 1, 1, width, height)]
+    )
+    expected = sum(ph * (1 + pw * bpp) for *_, pw, ph in passes if pw and ph)
+    if len(stream) != expected:
         raise ValueError(
             "decode_image: corrupt PNG — scanline stream length mismatch "
-            f"({len(stream)} != {height * (1 + row_bytes)})"
+            f"({len(stream)} != {expected})"
         )
-    out = np.empty((height, row_bytes), np.uint8)
-    prior = bytearray(row_bytes)
-    for r in range(height):
-        off = r * (1 + row_bytes)
-        ftype = stream[off]
-        row = bytearray(stream[off + 1 : off + 1 + row_bytes])
-        prior = _png_unfilter_row(ftype, row, prior, channels)
-        out[r] = np.frombuffer(bytes(prior), np.uint8)
-    px = out.reshape(height, width, channels)
+    px = np.zeros((height, width, channels), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not (pw and ph):
+            continue
+        block, off = unfilter_block(off, ph, pw * bpp)
+        px[y0::dy, x0::dx] = to_samples(block, ph, pw)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 3:
@@ -497,7 +594,10 @@ def write_png_assets_parquet(path: str, n: int = 64, seed: int = 47) -> str:
     computed from the pre-compression pixel array.  zlib output is not
     hex-parsable in SQL, so the DuckDB oracle reads the truth columns:
     equality proves a real compress->decode round trip through every
-    scanline filter.  Color types rotate gray/RGB/RGBA/paletted."""
+    scanline filter.  Color types rotate gray/RGB/RGBA/paletted; the
+    gray/RGB/RGBA rows additionally rotate 16-bit depth and Adam7
+    interlacing so every decode path the module supports is in the
+    driver fixture."""
     import os
 
     import pyarrow as pa
@@ -511,7 +611,11 @@ def write_png_assets_parquet(path: str, n: int = 64, seed: int = 47) -> str:
         width = int(rng.integers(5, 33))
         height = int(rng.integers(6, 25))  # >= 6 rows: all 5 filters fire
         color_type = (0, 2, 6, 3)[i % 4]
-        blob, pixels = synth_png_bytes(width, height, rng, color_type)
+        depth = 16 if color_type != 3 and (i // 4) % 2 else 8
+        interlace = (i // 8) % 2
+        blob, pixels = synth_png_bytes(
+            width, height, rng, color_type, depth=depth, interlace=interlace
+        )
         blobs.append(blob)
         widths.append(pixels.shape[1])
         heights.append(pixels.shape[0])
@@ -545,13 +649,14 @@ _DECODE_SCHEMA = StructType(
 def decode_image(df: DataFrame) -> DataFrame:
     """Decode image payloads to pixel arrays — REAL for uncompressed
     24-bit BMP (pure numpy: header parse, stride/padding removal,
-    bottom-up flip, BGR->RGB) and 8-bit PNG (stdlib zlib inflate + the
-    five standard scanline filters; gray/RGB/RGBA/paletted), dispatched
-    on the file magic.  Output rows: (asset_id, width, height, pixels)
+    bottom-up flip, BGR->RGB) and PNG (stdlib zlib inflate + the five
+    standard scanline filters; 8/16-bit gray/RGB/RGBA and 8-bit
+    paletted, plain or Adam7-interlaced; 16-bit samples normalized by
+    the high byte), dispatched on the file magic.  Output rows: (asset_id, width, height, pixels)
     with ``pixels`` the flattened RGB values in top-down row-major order.
 
     Formats that need a codec this container does not ship (JPEG,
-    interlaced/16-bit PNG, ...) raise ``NotImplementedError`` (swap in
+    sub-byte-depth PNG, ...) raise ``NotImplementedError`` (swap in
     ``PIL.Image.open`` on codec-enabled builds; the Spark plumbing —
     schema, batching, Arrow shape — is the same either way).  Every
     decode failure is re-raised with the offending ``asset_id`` prefixed.
@@ -591,8 +696,8 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(b)
     raise NotImplementedError(
-        "decode_image: only uncompressed 24-bit BMP and 8-bit "
-        "non-interlaced PNG decode codec-free; this payload needs an "
+        "decode_image: only uncompressed 24-bit BMP and 8/16-bit "
+        "plain-or-Adam7 PNG decode codec-free; this payload needs an "
         "image codec (Pillow) absent from this container"
     )
 

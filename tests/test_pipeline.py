@@ -579,11 +579,19 @@ def test_decode_image_png_roundtrip(spark):
     truth = {}
     rows = []
     cases = [
-        (0, 8, 7), (2, 13, 6), (2, 1, 1), (6, 9, 11), (0, 32, 5), (6, 5, 10),
-        (3, 11, 8), (3, 1, 1), (3, 24, 6),  # paletted: PLTE lookup path
+        (0, 8, 7, 8, 0), (2, 13, 6, 8, 0), (2, 1, 1, 8, 0), (6, 9, 11, 8, 0),
+        (0, 32, 5, 8, 0), (6, 5, 10, 8, 0),
+        # paletted: PLTE lookup path (plain + Adam7)
+        (3, 11, 8, 8, 0), (3, 1, 1, 8, 0), (3, 24, 6, 8, 1),
+        # 16-bit depth (big-endian samples, high-byte normalization)
+        (0, 9, 6, 16, 0), (2, 12, 7, 16, 0), (6, 6, 9, 16, 0),
+        # Adam7 interlaced: seven independently filtered passes
+        (0, 13, 11, 8, 1), (2, 8, 8, 8, 1), (6, 17, 4, 8, 1),
+        (2, 3, 2, 8, 1),  # tiny: most passes empty
+        (2, 20, 14, 16, 1),  # 16-bit AND interlaced
     ]
-    for asset_id, (ct, w, h) in enumerate(cases):
-        blob, pixels = synth_png_bytes(w, h, rng, ct)
+    for asset_id, (ct, w, h, depth, il) in enumerate(cases):
+        blob, pixels = synth_png_bytes(w, h, rng, ct, depth=depth, interlace=il)
         truth[asset_id] = pixels
         rows.append((asset_id, bytearray(blob)))
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
@@ -596,8 +604,10 @@ def test_decode_image_png_roundtrip(spark):
 
 
 def test_decode_image_png_unsupported_raises():
-    """Interlaced / 16-bit PNGs and non-PNG magics raise
-    NotImplementedError naming the missing codec, never mis-decode."""
+    """Sub-byte depths, 16-bit paletted, unknown interlace methods, and
+    non-PNG magics raise NotImplementedError naming the missing codec,
+    never mis-decode.  (8/16-bit and Adam7 are SUPPORTED — covered by
+    the round-trip test above.)"""
     import struct
 
     import numpy as np
@@ -612,18 +622,29 @@ def test_decode_image_png_unsupported_raises():
     )
 
     rng = np.random.default_rng(5)
-    blob, _ = synth_png_bytes(4, 4, rng, 2)
-    # flip fields inside IHDR (starts at byte 16: 8 magic + 8 len/tag)
-    for patch_off, val in [(24, 16), (28, 1)]:  # depth 16, interlace
-        bad = bytearray(blob)
+
+    def patched(src, patch_off, val):
+        # flip a field inside IHDR (starts at byte 16: 8 magic + 8
+        # len/tag) and recompute the CRC so only the unsupported
+        # feature is at fault
+        bad = bytearray(src)
         bad[patch_off] = val
-        # recompute IHDR CRC so only the unsupported feature is at fault
         ihdr = bytes(bad[16:29])
         import zlib as _z
 
         bad[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return bytes(bad)
+
+    blob, _ = synth_png_bytes(4, 4, rng, 2)
+    pblob, _ = synth_png_bytes(4, 4, rng, 3)
+    for src, patch_off, val in [
+        (blob, 24, 4),   # sub-byte depth
+        (blob, 24, 1),   # 1-bit depth
+        (blob, 28, 7),   # unknown interlace method
+        (pblob, 24, 16),  # 16-bit paletted (not a legal PNG combo)
+    ]:
         with pytest.raises(NotImplementedError):
-            _decode_png(bytes(bad))
+            _decode_png(patched(src, patch_off, val))
     with pytest.raises(NotImplementedError):
         _decode_image_bytes(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(ValueError, match="IHDR"):
