@@ -191,9 +191,12 @@ HEADLINE_QUERIES = [
     "pcm_waveform_stats",
     "kmeans_clusters_embeddings",
     "remove_boilerplate_lines",
+    "remove_boilerplate_shuffle",
     "bpe_train_merges",
+    "bpe_roundtrip_invariant",
     "quality_classifier_predictions",
     "bm25_topk_docs",
+    "bm25_topk_warm",
     "shard_manifest_docs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
@@ -211,6 +214,7 @@ HEADLINE_QUERIES = [
     "packing_stats",
     "dedup_incremental_exact",
     "minhash_incremental_recall",
+    "minhash_incremental_persisted",
     "corpus_delta_source",
     "semantic_dedup_recall",
     "dup_span_stats",
@@ -703,6 +707,17 @@ def write_bench_md(queries, meta, scaling) -> None:
         f"| {name} | {sec} | "
         f"{best_observed.get(name, sec)} | {run_trail.get(name, [sec])} |"
         for name, sec in queries.items()
+    ]
+    lines += [
+        "",
+        "Warm-path rows measure build + query because the bench clears",
+        "persisted state between timed calls (cold-measurement rule):",
+        "`bm25_topk_warm` pays the one-time inverted-index build that",
+        "repeated production queries amortize to zero corpus scans, and",
+        "`minhash_incremental_persisted` pays signing \"yesterday's\"",
+        "corpus signature table that a daily loop reads back from parquet",
+        "— the per-increment cost is only the batch-side sign + band join.",
+        "Pytest pins both no-rescan properties.",
     ]
     s28 = scaling.get("sketch_2v8")
     p28 = scaling.get("preagg_2v8")
