@@ -489,9 +489,23 @@ def _merge_probe_history(host: dict | None) -> dict | None:
         history["host_probe_best"] = best
     else:
         history.pop("host_probe_best", None)
+    # Per-leg MINIMA across every probe ever sampled (no efficiency
+    # filter: a leg time is a raw capacity observation either way).
+    # The degraded-window ratio compares against these, NOT against the
+    # best-by-speedup probe — a uniformly slow steal window can tie the
+    # historical SPEEDUP while both its legs run 2x slow, and comparing
+    # leg-to-leg against such a probe would report the window clean and
+    # pin inflated legs as the baseline for every future run.
+    legs_min = dict(history.get("host_probe_legs_min") or {})
+    if host:
+        for k, v in host.items():
+            if k.endswith("_sec"):
+                legs_min[k] = min(v, legs_min.get(k, v))
+    if legs_min:
+        history["host_probe_legs_min"] = legs_min
     with open(path, "w", encoding="utf8") as f:
         json.dump(history, f, indent=1)
-    return best
+    return best, (legs_min or None)
 
 
 def _shutdown_jvm() -> None:
@@ -616,19 +630,22 @@ def run_scaling(scale_dir: str, warm_dir: str) -> dict:
     # probe: a probe sampled inside a steal spike *understates* host
     # capacity and would make the job look super-ceiling (>100%).
     host_now = getattr(_scale_pair, "last_probe", None)
-    host = _merge_probe_history(host_now)
+    host, legs_min = _merge_probe_history(host_now)
     # Degraded-window detection (VERDICT r4 #5): when this run's own
     # host probe is materially slower than the best-observed window, the
     # artifacts of record must say so — a steal-window sample otherwise
     # reads as a code regression.  Ratio = worst leg of probe time vs
-    # the best window's same leg; >1.5x marks the run degraded.
+    # the FASTEST observed same leg across all history (leg minima, not
+    # the best-by-speedup probe: a uniformly slow window can tie the
+    # speedup while every leg runs 2x slow); >1.5x marks the run
+    # degraded.
     degraded = None
     host_window_ratio = None
-    if host_now is not None and host is not None:
-        legs = [k for k in host_now if k.endswith("_sec") and k in host]
+    if host_now is not None and legs_min:
+        legs = [k for k in host_now if k.endswith("_sec") and k in legs_min]
         if legs:
             host_window_ratio = round(
-                max(host_now[k] / host[k] for k in legs), 3
+                max(host_now[k] / legs_min[k] for k in legs), 3
             )
             degraded = host_window_ratio > 1.5
     p832 = best.get("preagg_8v32")

@@ -177,6 +177,18 @@ def minhash_incremental_pairs(
             raise ValueError(
                 f"corpus_sig must have columns (id, sig); missing {sorted(missing)}"
             )
+        # A table built with a different num_hashes would band with the
+        # wrong geometry and null out every zip_with estimate — ALL
+        # cross-side near-dups silently missed, the unsafe direction.
+        # One row bounds the check's cost; signatures are fixed-length
+        # by construction so one row is representative.
+        probe = corpus_sig.select(F.size("sig").alias("_n")).first()
+        if probe is not None and probe["_n"] != num_hashes:
+            raise ValueError(
+                f"corpus_sig signatures have length {probe['_n']} but "
+                f"num_hashes={num_hashes} — rebuild the signature table "
+                "or pass the num_hashes it was built with"
+            )
         csig = transient_persist(corpus_sig.select("id", "sig"))
     elif corpus is not None:
         csig = transient_persist(

@@ -188,21 +188,27 @@ def bm25_build(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
     Postings are ``groupBy(term, id)`` counts — combiner-aggregated, the
     exchange carries (term, id, tf) not raw text.  Both relations
     materialize eagerly so the query path cannot silently fall back to
-    a lineage recompute of the corpus scan.
+    a lineage recompute of the corpus scan.  They persist DIRECTLY (not
+    via ``transient_persist``): the index outlives the FIFO transient
+    window — eviction there would silently reintroduce the corpus
+    rescan (or crash on rotated source files) for an index still served
+    by the plan-hash cache.  Same rule as the LSH/IVF index builds;
+    drop the index with ``index.postings.unpersist()`` /
+    ``index.docs.unpersist()`` or ``clear_index_cache()``.
     """
-    from mgspark.cacheutil import transient_persist
+    from pyspark import StorageLevel
 
     toks = _tok_expr(text_col)
-    docs = transient_persist(
-        df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
-    )
+    docs = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("dl")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     docs.count()
-    postings = transient_persist(
+    postings = (
         df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"),
                   F.explode(toks).alias("term"))
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     postings.count()
     stats = docs.agg(
         F.count("*").alias("n"),

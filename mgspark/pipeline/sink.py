@@ -267,15 +267,31 @@ def verify_shards(
     n_shards: int = 64,
     seed: int = 0,
     format: str = "parquet",
+    schema=None,
 ) -> DataFrame:
     """Re-derive the manifest from the files under ``path`` and diff it
     against the stored one.  Returns violations: (shard, kind) where
     kind in ('missing', 'extra', 'mismatch') — empty means the export
     is intact.  Cost: one scan of the data + a shard-count-sized join.
+
+    ``format='json'`` REQUIRES ``schema`` (the exporting DataFrame's
+    ``df.schema``, same as :func:`write_sharded` uses for its own
+    read-back): JSONL carries no types and omits null fields, so schema
+    inference can drop an all-null checksum column or drift a type,
+    failing (or falsely passing sections of) an intact export.
     """
     if format not in _SINK_FORMATS:
         raise ValueError(f"format must be one of {sorted(_SINK_FORMATS)}, got {format!r}")
-    data = spark.read.format(format).load(os.path.join(path, "data"))
+    reader = spark.read
+    if format == "json":
+        if schema is None:
+            raise ValueError(
+                "verify_shards: format='json' requires schema= (the "
+                "exporting DataFrame's df.schema) — JSON inference drops "
+                "all-null columns and drifts types, desyncing fingerprints"
+            )
+        reader = reader.schema(schema)
+    data = reader.format(format).load(os.path.join(path, "data"))
     stored = spark.read.parquet(os.path.join(path, "_manifest"))
     actual = shard_manifest(
         data.drop("shard"), id_col, checksum_cols, n_shards, seed

@@ -31,6 +31,7 @@ def history_file(tmp_path, monkeypatch):
             "efficiency": 0.625,
             "max_steal_pct": 5.0,
         },
+        "host_probe_legs_min": {"local8_sec": 1.0, "local32_sec": 0.4},
         "sketch_2v8": {
             "local2_sec": 6.0,
             "local8_sec": 2.0,
@@ -272,3 +273,32 @@ def test_run_scaling_pair_filter_env(history_file, monkeypatch):
     assert s["pairs_measured"] == ["sketch_2v8"]
     # Unmeasured pairs still report from history.
     assert s["preagg_2v8"]["best_pair_efficiency"] == 0.99
+
+
+def test_run_scaling_uniformly_slow_window_still_degraded(
+    history_file, monkeypatch
+):
+    # A steal window that slows BOTH legs ~2x can tie or edge out the
+    # historical best SPEEDUP — best-by-speedup would then compare the
+    # slow probe against itself and report the window clean.  The
+    # leg-minima baseline still flags it, and the fast legs stay pinned
+    # in history.
+    def fake_scale_pair(low, high, *a, **k):
+        if k.get("with_cpu_probe"):
+            fake_scale_pair.last_probe = {
+                "local8_sec": 2.0,    # legs-min: 1.0
+                "local32_sec": 0.79,  # legs-min: 0.4
+                "speedup": 2.53,      # beats history's 2.5
+                "efficiency": 0.633,
+                "max_steal_pct": 30.0,
+            }
+        return _fake_pair(low, high)
+
+    fake_scale_pair.last_probe = None
+    monkeypatch.setattr(bench, "_scale_pair", fake_scale_pair)
+    monkeypatch.setattr(bench, "_BENCH_START", None)
+    s = bench.run_scaling("scale", "warm")
+    assert s["degraded"] is True
+    assert s["host_window_ratio"] == 2.0
+    hist = json.loads(history_file.read_text())
+    assert hist["host_probe_legs_min"] == {"local8_sec": 1.0, "local32_sec": 0.4}

@@ -184,6 +184,21 @@ def test_minhash_incremental_requires_a_corpus_side(spark):
         minhash_incremental_pairs(batch, None, "text", "id", corpus_sig=bad_sig)
 
 
+def test_minhash_incremental_rejects_mismatched_signature_length(spark):
+    import pytest
+
+    from mgspark.pipeline.dedup import minhash_incremental_pairs, minhash_signatures
+
+    # A signature table built with a DIFFERENT num_hashes must be
+    # rejected loudly: the wrong band geometry + null zip_with estimates
+    # would otherwise silently miss every cross-side near-duplicate.
+    corpus = spark.createDataFrame([(1, _sentences("v1"))], "id long, text string")
+    sig64 = minhash_signatures(corpus, "text", "id", num_hashes=64)
+    batch = spark.createDataFrame([(100, _sentences("v1"))], "id long, text string")
+    with pytest.raises(ValueError, match="length 64.*num_hashes=128"):
+        minhash_incremental_pairs(batch, None, "text", "id", corpus_sig=sig64)
+
+
 def test_minhash_incremental_hot_bucket_cap(spark):
     from mgspark.pipeline.dedup import minhash_incremental_pairs
 

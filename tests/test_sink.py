@@ -93,10 +93,17 @@ def test_write_verify_round_trip_jsonl(spark, tmp_path):
             assert len(files) == 1, (d, files)
     assert (
         verify_shards(
-            spark, path, "doc_id", ["text", "lang"], n_shards=4, seed=1, format="json"
+            spark, path, "doc_id", ["text", "lang"], n_shards=4, seed=1,
+            format="json", schema=df.schema,
         ).count()
         == 0
     )
+    # schema is REQUIRED for json: inference drops all-null columns
+    with pytest.raises(ValueError, match="schema"):
+        verify_shards(
+            spark, path, "doc_id", ["text", "lang"], n_shards=4, seed=1,
+            format="json",
+        )
     back = spark.read.schema(SCHEMA).json(data_dir)
     assert back.count() == len(ROWS)
     assert back.select("doc_id").distinct().count() == len(ROWS)
@@ -110,6 +117,26 @@ def test_write_verify_round_trip_jsonl(spark, tmp_path):
     with open(os.path.join(data_dir, shard_dir, fname)) as fh:
         lines = [json.loads(line) for line in fh if line.strip()]
     assert lines and all("doc_id" in obj for obj in lines)
+
+
+def test_verify_json_survives_all_null_checksum_column(spark, tmp_path):
+    # The failure mode the schema= requirement exists for: JSONL omits
+    # null fields, so an all-null checksum column vanishes from every
+    # written object; inference would never see it and the manifest
+    # recompute would reference a nonexistent column.  With the explicit
+    # schema the intact export verifies clean.
+    df = _mk(spark).withColumn("lang", F.lit(None).cast("string"))
+    path = str(tmp_path / "export_nulls")
+    write_sharded(
+        df, path, "doc_id", ["text", "lang"], n_shards=2, seed=1, format="json"
+    )
+    assert (
+        verify_shards(
+            spark, path, "doc_id", ["text", "lang"], n_shards=2, seed=1,
+            format="json", schema=df.schema,
+        ).count()
+        == 0
+    )
 
 
 def test_write_sharded_rejects_unknown_format(spark, tmp_path):
