@@ -302,3 +302,61 @@ def test_run_scaling_uniformly_slow_window_still_degraded(
     assert s["host_window_ratio"] == 2.0
     hist = json.loads(history_file.read_text())
     assert hist["host_probe_legs_min"] == {"local8_sec": 1.0, "local32_sec": 0.4}
+
+
+def test_merge_query_history_reports_uniform_inflation(history_file):
+    # The r5 contention window inflated every query ~1.66x while the CPU
+    # probe's local[8] leg ran FASTER than its best — the per-query
+    # median is the signal that catches wide-job contention.
+    seed = {f"q{i}": 1.0 for i in range(10)}
+    best, ratio = bench._merge_query_history(dict(seed), "0.1", 32)
+    assert ratio is None  # first invocation: nothing to compare against
+    _, ratio = bench._merge_query_history({k: 1.6 for k in seed}, "0.1", 32)
+    assert ratio == 1.6
+    # The min-fold keeps the clean bests; the inflated run displaces none.
+    best, _ = bench._merge_query_history({k: 1.0 for k in seed}, "0.1", 32)
+    assert all(v == 1.0 for v in best.values())
+
+
+def test_merge_query_history_ignores_subsecond_jitter(history_file):
+    # Queries under 0.3s best are excluded from the median: tripling a
+    # 0.1s query is jitter, not a window signal.
+    seed = {f"s{i}": 0.1 for i in range(10)}
+    seed.update({f"q{i}": 1.0 for i in range(8)})
+    bench._merge_query_history(dict(seed), "0.1", 32)
+    nxt = {k: (v * 3 if v < 0.3 else v) for k, v in seed.items()}
+    _, ratio = bench._merge_query_history(nxt, "0.1", 32)
+    assert ratio == 1.0
+
+
+def test_apply_query_window_flags_degraded(history_file):
+    s = {"degraded": False, "host_window_ratio": 1.0}
+    out = bench._apply_query_window(s, {"query_window_ratio": 1.66})
+    assert out["degraded"] is True
+    assert out["query_window_ratio"] == 1.66
+    assert bench._apply_query_window(
+        s, {"query_window_ratio": 1.1})["degraded"] is False
+    assert bench._apply_query_window(
+        s, {"query_window_ratio": None})["degraded"] is False
+    # The probe-based flag is never cleared by a clean query median.
+    probe_flagged = {"degraded": True, "host_window_ratio": 2.0}
+    assert bench._apply_query_window(
+        probe_flagged, {"query_window_ratio": 1.0})["degraded"] is True
+
+
+def test_probe_legs_min_bootstrap_from_probe_best(history_file):
+    # A history written before host_probe_legs_min existed must seed the
+    # minima from host_probe_best's legs — self-seeding from the current
+    # probe reports ratio=1.0 no matter how degraded the window is.
+    hist = json.loads(history_file.read_text())
+    del hist["host_probe_legs_min"]
+    history_file.write_text(json.dumps(hist))
+    slow_probe = {
+        "local8_sec": 2.0,
+        "local32_sec": 0.8,
+        "speedup": 2.5,
+        "efficiency": 0.625,
+        "max_steal_pct": 40.0,
+    }
+    _, legs_min = bench._merge_probe_history(slow_probe)
+    assert legs_min == {"local8_sec": 1.0, "local32_sec": 0.4}
