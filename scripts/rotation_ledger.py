@@ -74,18 +74,25 @@ def build_ledger(repo: str = REPO) -> dict:
         }
 
     never = sorted(n for n, e in ledger.items() if e["last_green_round"] is None)
-    stale_behind = sorted(
-        n
-        for n, e in ledger.items()
-        if e["last_green_round"] is not None
-        and max(rounds, default=0) - e["last_green_round"] >= 2
-    )
+    window = 50
+    # A stale row *positioned inside the driver window* is queued for
+    # re-check next round — that is the rotation working, not a row
+    # silently rotting in the tail.  Only stale rows OUTSIDE the window
+    # are a discipline failure; the queued ones are listed separately
+    # for auditability.
+    stale_behind, stale_queued = [], []
+    for n, e in sorted(ledger.items()):
+        if e["last_green_round"] is None:
+            continue
+        if max(rounds, default=0) - e["last_green_round"] >= 2:
+            (stale_queued if e["position"] <= window else stale_behind).append(n)
     return {
         "generated_from_rounds": sorted(rounds),
         "registered_queries": len(registry),
-        "driver_window": 50,
+        "driver_window": window,
         "never_driver_green": never,
         "green_2plus_rounds_ago": stale_behind,
+        "stale_queued_in_window": stale_queued,
         "queries": ledger,
     }
 
