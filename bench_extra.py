@@ -34,9 +34,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 from bench import SPLIT_CONF, _build_merge_job, _repo_table_dir, REPO_ROWS
 
 
-def _n_jobs(spark) -> int:
-    store = spark._jsparkSession.sharedState().statusStore()
-    return store.jobsList(None).size()
+def _jobs_in_group(spark, group: str) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
 
 
 def _plan_str(df) -> str:
@@ -91,14 +90,14 @@ def main() -> None:
             except Exception:
                 pass
             clear_transient_caches()
-            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
-            j0 = _n_jobs(spark)
+            group = f"bench_extra:{name}:{len(samples)}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             df = qmap[name](spark, SF_DIR)
             df.collect()
             samples.append(round(time.perf_counter() - t0, 4))
-            jobs = _n_jobs(spark) - j0
-            spark.sparkContext.setJobDescription(None)
+            jobs = _jobs_in_group(spark, group)
+            spark.sparkContext.setJobGroup("", "")
         results[name] = {"sec": min(samples), "samples": samples, "jobs": jobs}
         if dump_plans:
             clear_transient_caches()

@@ -51,18 +51,56 @@ def logreg_train(
     label_col: str,
     iterations: int = 20,
     lr: float = 0.5,
+    local_elements: int = 8_000_000,
 ) -> tuple[np.ndarray, float]:
-    """Full-batch GD from zero init.  Each iteration: one scan, one
-    combiner-aggregated shuffle of (d+2) partial sums; returns
-    (weights, bias).  The input is persisted for the loop."""
-    cached = df.select(
+    """Full-batch GD from zero init; returns (weights, bias).
+
+    Full-batch GD is inherently sequential in its iterations, so the
+    distributed loop costs ``iterations`` scheduler round-trips (each
+    one scan + a combiner-aggregated shuffle of (d+2) partial sums) —
+    the right shape when the training set is large.  Labeled training
+    sets for quality gates are typically small relative to the corpus
+    being gated, and below ``local_elements`` matrix cells
+    (rows x (dim+1), default 8M ~ 64 MB of float64 — far under the
+    driver's collect ceiling) the whole set is fetched ONCE via Arrow
+    and the identical GD loop runs vectorized on the driver: one job
+    instead of ``iterations + 3``.  The gradient math is the same
+    expression in the same IEEE arithmetic; results differ only in
+    float summation order, exactly like re-partitioning the distributed
+    loop does.  Inputs past the bound keep the distributed
+    one-scan-per-iteration shape; ragged or null feature rows fall back
+    to the distributed path too (it skips nulls per element_at
+    semantics).
+    """
+    sel = df.select(
         F.col(vec_col).alias("x"), F.col(label_col).cast("double").alias("y")
-    ).persist()
+    )
+    first = sel.select(F.size("x").alias("d")).first()
+    if first is None:
+        return np.zeros(0), 0.0
+    dim = int(first["d"])
+    budget_rows = max(1, local_elements // (dim + 1))
+    head = sel.limit(budget_rows + 1).toPandas()
+    if len(head) <= budget_rows:
+        try:
+            X = np.array([np.asarray(v, dtype=np.float64) for v in head["x"]])
+            if X.ndim != 2:  # ragged rows collapse to an object array
+                raise ValueError("ragged feature vectors")
+        except (TypeError, ValueError):
+            X = None
+        if X is not None and X.shape[1] == dim:
+            y = head["y"].to_numpy(dtype=np.float64)
+            n = len(head)
+            w = np.zeros(dim)
+            b = 0.0
+            for _ in range(iterations):
+                p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+                r = p - y
+                w = w - lr * (X.T @ r) / n
+                b = b - lr * float(r.sum()) / n
+            return w, b
+    cached = sel.persist()
     try:
-        first = cached.select(F.size("x").alias("d")).first()
-        if first is None:
-            return np.zeros(0), 0.0
-        dim = int(first["d"])
         n = cached.count()
         # The loop launches `iterations` jobs against the cache; for a
         # small corpus the per-task scheduling overhead (partitions x
