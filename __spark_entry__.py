@@ -666,13 +666,18 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 512
 
 
-def _dsir_target(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR target corpus: the same deterministic 2% hash sample
+def _dsir_target_predicate():
+    """DSIR target membership: the same deterministic 2% hash sample
     (seed 31) the decontamination bench set uses — a 'high-quality
-    subset' stand-in whose membership DuckDB recomputes exactly."""
-    from mgspark.pipeline.sampling import hash_sample
+    subset' stand-in whose membership DuckDB recomputes exactly.
+    Expressed as a predicate over the featurized ``id`` column so
+    dsir_log_weights derives the target model from the raw side's
+    per-doc bucket relation instead of gram-exploding (and
+    sha256-hashing) the subset a second time — identical counts, half
+    the featurization work (guide §1.2: remove the redundant pass)."""
+    from mgspark.pipeline.sampling import _MOD, sample_hash_expr
 
-    return hash_sample(_read(spark, sf_dir, "documents"), "doc_id", 0.02, seed=31)
+    return sample_hash_expr("id", 31) < int(0.02 * _MOD)
 
 
 def q_dsir_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,7 +692,10 @@ def q_dsir_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return dsir_log_weights(
-        docs, _dsir_target(spark, sf_dir), n_buckets=_DSIR_BUCKETS
+        docs,
+        None,
+        n_buckets=_DSIR_BUCKETS,
+        target_predicate=_dsir_target_predicate(),
     ).select("id", "n_grams", "target_count_sum", "raw_count_sum")
 
 
@@ -702,31 +710,55 @@ def q_dsir_resample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
 
     def weights() -> DataFrame:
-        w = dsir_log_weights(docs, _dsir_target(spark, sf_dir), n_buckets=_DSIR_BUCKETS)
+        w = dsir_log_weights(
+            docs,
+            None,
+            n_buckets=_DSIR_BUCKETS,
+            target_predicate=_dsir_target_predicate(),
+        )
         return w.withColumn("log_weight", F.round("log_weight", 9))
 
     n = 200
-    # Persist both 200-row selections so the three invariant counts
-    # execute each independent weights pipeline exactly ONCE (the two
-    # runs the rerun-identity check needs), not once per count action.
-    from mgspark.cacheutil import transient_persist
-
-    sel1 = transient_persist(dsir_resample(weights(), n, seed=11).select("id"))
-    sel2 = transient_persist(dsir_resample(weights(), n, seed=11).select("id"))
-    n_selected = sel1.count()
-    n_outside = sel1.join(
-        docs.select(F.col("doc_id").cast("long").alias("id")), "id", "left_anti"
-    ).count()
-    n_rerun_mismatch = (
-        sel1.withColumn("_a", F.lit(1))
-        .join(sel2.withColumn("_b", F.lit(1)), "id", "full_outer")
-        .where(F.col("_a").isNull() | F.col("_b").isNull())
-        .count()
+    # All three invariant counts in ONE fused action: full-outer join
+    # of the two independent 200-row selections on id, left join of the
+    # corpus id column, then conditional sums.  Each selection subtree
+    # appears exactly once in the plan, so each independent weights
+    # pipeline still executes exactly once (the two runs the
+    # rerun-identity check needs) — previously two persists plus three
+    # sequential count jobs did the same arithmetic.
+    sel1 = dsir_resample(weights(), n, seed=11).select(
+        F.col("id").alias("id"), F.lit(1).alias("_a")
     )
-    return spark.createDataFrame(
-        [(n_selected, n_outside, n_rerun_mismatch)],
-        "n_selected long, n_outside long, n_rerun_mismatch long",
+    sel2 = dsir_resample(weights(), n, seed=11).select(
+        F.col("id").alias("id"), F.lit(1).alias("_b")
     )
+    corpus_ids = docs.select(
+        F.col("doc_id").cast("long").alias("id"), F.lit(1).alias("_c")
+    )
+    fused = (
+        sel1.join(sel2, "id", "full_outer")
+        .join(corpus_ids, "id", "left")
+        .agg(
+            F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_a").isNotNull() & F.col("_c").isNull(), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outside"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_a").isNull() | F.col("_b").isNull(), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rerun_mismatch"),
+        )
+    )
+    return fused
 
 
 def _bench_set(spark: SparkSession, sf_dir: str) -> DataFrame:

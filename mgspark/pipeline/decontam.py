@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mgspark.pipeline.textstats import word_ngrams_expr
+from mgspark.pipeline.textstats import (
+    word_ngrams_from_tokens_expr,
+    ws_tokens_expr,
+)
 
 __all__ = ["contamination_report", "decontaminate"]
 
@@ -51,7 +54,12 @@ def _gram_relation(
     # post-hash null filter would not work.
     grams = df.select(
         F.col(id_col).alias("_cid"),
-        F.explode(F.array_distinct(word_ngrams_expr(text_col, n))).alias("gram"),
+        ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"),
+    ).select(
+        "_cid",
+        F.explode(
+            F.array_distinct(word_ngrams_from_tokens_expr(F.col("_toks"), n))
+        ).alias("gram"),
     )
     if hash_grams:
         grams = grams.select("_cid", F.xxhash64("gram").alias("gram"))

@@ -1046,7 +1046,12 @@ def ngram_jaccard_pairs(
     """
     from mgspark.cacheutil import transient_persist
 
-    toks = F.split(F.col(text_col), " ")
+    # Tokenize once per row in its own projection (raw split, empties
+    # kept — this operator's oracle semantics): referencing the split
+    # expression inside the transform lambda re-runs it per position
+    # (no CSE across higher-order functions, see
+    # textstats.word_ngrams_from_tokens_expr).
+    toks = F.col("_toks")
     # Docs shorter than n tokens have zero grams; without the guard,
     # sequence(0, size-n) turns DESCENDING for size < n (Spark defaults
     # step to -1) and slice(..., 0, n) then kills the job.
@@ -1058,7 +1063,11 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = (
-        df.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select("id", F.explode(gram_arr).alias("gram"))
         .distinct()
     )
     # The gram relation feeds 3-4 consumers (hot-gram blacklist, both

@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mgspark.pipeline.sampling import sample_hash_expr
-from mgspark.pipeline.textstats import word_ngrams_expr
+from mgspark.pipeline.textstats import (
+    word_ngrams_from_tokens_expr,
+    ws_tokens_expr,
+)
 
 __all__ = [
     "hashed_gram_buckets",
@@ -88,13 +91,21 @@ def hashed_gram_buckets(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if not ns:
         raise ValueError("ns must name at least one gram order")
-    grams = F.flatten(F.array(*[word_ngrams_expr(text_col, n) for n in ns]))
+    # Tokenize ONCE per row in its own projection; building the gram
+    # arrays from the materialized token column keeps the split out of
+    # the per-position lambda (see word_ngrams_from_tokens_expr).
+    pre = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"),
+    )
+    grams = F.flatten(
+        F.array(
+            *[word_ngrams_from_tokens_expr(F.col("_toks"), n) for n in ns]
+        )
+    )
     explode = F.explode_outer if keep_empty_docs else F.explode
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            explode(grams).alias("_gram"),
-        )
+        pre.select("id", explode(grams).alias("_gram"))
         .select(
             "id",
             F.when(
@@ -117,9 +128,16 @@ def dsir_bucket_model(
     """Corpus-level bucket counts (bucket, cnt) — the unnormalized
     hashed-gram unigram model.  Exactly ``<= n_buckets`` rows however
     large the corpus: safe to broadcast, cheap to persist."""
-    grams = F.flatten(F.array(*[word_ngrams_expr(text_col, n) for n in ns]))
+    pre = df.select(
+        ws_tokens_expr(text_col, null_as_empty=True).alias("_toks")
+    )
+    grams = F.flatten(
+        F.array(
+            *[word_ngrams_from_tokens_expr(F.col("_toks"), n) for n in ns]
+        )
+    )
     return (
-        df.select(F.explode(grams).alias("_gram"))
+        pre.select(F.explode(grams).alias("_gram"))
         .select(_bucket_expr(F.col("_gram"), n_buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -128,12 +146,13 @@ def dsir_bucket_model(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     ns: tuple[int, ...] = (1, 2),
     smoothing: float = 1.0,
+    target_predicate=None,
 ) -> DataFrame:
     """Score every raw document against the target distribution.
 
@@ -151,19 +170,32 @@ def dsir_log_weights(
 
     ONE scan of each corpus: the raw model is derived from the per-doc
     bucket relation (``groupBy(bucket)`` over it — no second gram
-    explosion), and both models are materialized driver-side (they are
-    ``<= n_buckets`` rows BY CONSTRUCTION — that bound, not the corpus
-    size, is what reaches the driver) to fold their totals into the
-    log-normalizer scalars, then re-broadcast for the scoring join.
+    explosion), and both models are materialized driver-side IN ONE
+    JOB (they are ``<= n_buckets`` rows BY CONSTRUCTION — that bound,
+    not the corpus size, is what reaches the driver) to fold their
+    totals into the log-normalizer scalars, then re-broadcast as one
+    relation for the scoring join.
     Docs with zero grams get ``n_grams = 0`` and ``log_weight = 0.0``
     (an empty product — importance 1 — rather than NULL, so downstream
     resampling never drops them silently); they ride through the
     feature relation as an ``explode_outer`` zero-count row, so the
-    whole score is two combiner aggregations plus broadcast joins —
+    whole score is two combiner aggregations plus one broadcast join —
     no corpus-size re-join on the id column ever happens.
+
+    ``target_predicate`` (instead of ``target``) declares the target
+    corpus as a row filter over ``raw`` keyed on the featurized ``id``
+    column — e.g. the deterministic hash-sample predicate.  The target
+    model is then a second conditional sum over the SAME per-doc bucket
+    relation: the target corpus is never gram-exploded or sha256-hashed
+    a second time, halving the featurization work — the common
+    "curated subset of the same corpus" DSIR deployment.  Identical
+    counts to featurizing the subset separately (a doc's grams bucket
+    the same way on either side).
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if (target is None) == (target_predicate is None):
+        raise ValueError("pass exactly one of target / target_predicate")
     from mgspark.cacheutil import transient_persist
 
     spark = raw.sparkSession
@@ -172,43 +204,57 @@ def dsir_log_weights(
             raw, text_col, id_col, n_buckets, ns, keep_empty_docs=True
         )
     )
-    raw_model_pd = (
-        doc_buckets.where(F.col("bucket").isNotNull())
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .toPandas()
-    )
-    target_model_pd = dsir_bucket_model(
-        target, text_col, n_buckets, ns
-    ).toPandas()
-    t_total = int(target_model_pd["cnt"].sum()) if len(target_model_pd) else 0
-    r_total = int(raw_model_pd["cnt"].sum()) if len(raw_model_pd) else 0
+    if target_predicate is not None:
+        models_pd = (
+            doc_buckets.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(
+                F.sum("cnt").cast("long").alias("_rcnt"),
+                F.sum(F.when(target_predicate, F.col("cnt")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("_tcnt"),
+            )
+            .toPandas()
+        )
+    else:
+        # Both models in ONE action: tag-and-union, then one groupBy —
+        # a single driver round-trip instead of two sequential ones.
+        raw_model = (
+            doc_buckets.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("_rcnt"))
+        )
+        target_model = dsir_bucket_model(target, text_col, n_buckets, ns).select(
+            "bucket", F.lit(0).cast("long").alias("_rcnt"),
+            F.col("cnt").cast("long").alias("_tcnt"),
+        )
+        models_pd = (
+            raw_model.select("bucket", "_rcnt", F.lit(0).cast("long").alias("_tcnt"))
+            .unionByName(target_model)
+            .groupBy("bucket")
+            .agg(
+                F.sum("_rcnt").cast("long").alias("_rcnt"),
+                F.sum("_tcnt").cast("long").alias("_tcnt"),
+            )
+            .toPandas()
+        )
+    t_total = int(models_pd["_tcnt"].sum()) if len(models_pd) else 0
+    r_total = int(models_pd["_rcnt"].sum()) if len(models_pd) else 0
     t_log_z = math.log(t_total + smoothing * n_buckets)
     r_log_z = math.log(r_total + smoothing * n_buckets)
-    schema = "bucket long, _tcnt long"
-    t = F.broadcast(
+    models = F.broadcast(
         spark.createDataFrame(
-            target_model_pd.rename(columns={"cnt": "_tcnt"}), schema
+            models_pd, "bucket long, _rcnt long, _tcnt long"
         )
     )
-    r = F.broadcast(
-        spark.createDataFrame(
-            raw_model_pd.rename(columns={"cnt": "_rcnt"}),
-            "bucket long, _rcnt long",
-        )
-    )
-    # a NULL bucket (empty doc) matches nothing in either broadcast
+    # a NULL bucket (empty doc) matches nothing in the broadcast
     # side — its _tcnt/_rcnt coalesce to 0 and its cnt is already 0,
     # so it contributes exactly nothing while keeping the id alive
-    joined = (
-        doc_buckets.join(t, "bucket", "left")
-        .join(r, "bucket", "left")
-        .select(
-            "id",
-            "cnt",
-            F.coalesce(F.col("_tcnt"), F.lit(0)).alias("_tcnt"),
-            F.coalesce(F.col("_rcnt"), F.lit(0)).alias("_rcnt"),
-        )
+    joined = doc_buckets.join(models, "bucket", "left").select(
+        "id",
+        "cnt",
+        F.coalesce(F.col("_tcnt"), F.lit(0)).alias("_tcnt"),
+        F.coalesce(F.col("_rcnt"), F.lit(0)).alias("_rcnt"),
     )
     scored = joined.groupBy("id").agg(
         F.sum("cnt").cast("long").alias("n_grams"),

@@ -30,7 +30,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mgspark.pipeline.textstats import word_ngrams_expr, ws_tokens_expr
+from mgspark.pipeline.textstats import (
+    word_ngrams_from_tokens_expr,
+    ws_tokens_expr,
+)
 
 __all__ = ["BigramLM", "lm_train", "lm_score"]
 
@@ -78,7 +81,10 @@ def lm_train(
     kept_v = uni.count()
     vocab = uni.select("tok")
     bi = (
-        ref.select(F.explode(word_ngrams_expr(text_col, 2)).alias("bg"))
+        ref.select(ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"))
+        .select(
+            F.explode(word_ngrams_from_tokens_expr(F.col("_toks"), 2)).alias("bg")
+        )
         .groupBy("bg")
         .agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -118,7 +124,10 @@ def lm_score(
     maybe_b = F.broadcast if broadcast_model else (lambda d: d)
     doc_bg = docs.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(word_ngrams_expr(text_col, 2)).alias("bg"),
+        ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"),
+    ).select(
+        "id",
+        F.explode_outer(word_ngrams_from_tokens_expr(F.col("_toks"), 2)).alias("bg"),
     )
     uni_ctx = lm.unigrams.select(
         F.col("tok").alias("_ctx"), F.col("n").alias("_ctx_n")

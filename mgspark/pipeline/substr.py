@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mgspark.pipeline.textstats import word_ngrams_expr, ws_tokens_expr
+from mgspark.pipeline.textstats import (
+    word_ngrams_from_tokens_expr,
+    ws_tokens_expr,
+)
 
 __all__ = ["dup_window_positions", "dup_spans", "dup_span_stats", "remove_dup_spans"]
 
@@ -52,9 +55,18 @@ def dup_window_positions(
         raise ValueError(f"dup_window_positions requires w >= 1, got {w}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # Tokenize once per row in its own projection — the w-token window
+    # strings are then O(w) slices of the materialized array instead of
+    # re-splitting the text once per window position (see
+    # word_ngrams_from_tokens_expr).
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(word_ngrams_expr(text_col, w)).alias("_p0", "gram"),
+        ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"),
+    ).select(
+        "id",
+        F.posexplode(
+            word_ngrams_from_tokens_expr(F.col("_toks"), w)
+        ).alias("_p0", "gram"),
     ).select(
         "id",
         (F.col("_p0") + 1).alias("pos"),

@@ -33,6 +33,7 @@ __all__ = [
     "redact_pii",
     "ws_tokens_expr",
     "word_ngrams_expr",
+    "word_ngrams_from_tokens_expr",
     "EMAIL_PATTERN",
     "IPV4_PATTERN",
     "LONGNUM_PATTERN",
@@ -71,11 +72,34 @@ def word_ngrams_expr(text_col: str, n: int):
     tokenization n times per position."""
     if n < 1:
         raise ValueError(f"word_ngrams_expr requires n >= 1, got {n}")
-    toks = ws_tokens_expr(text_col, null_as_empty=True)
+    return word_ngrams_from_tokens_expr(
+        ws_tokens_expr(text_col, null_as_empty=True), n
+    )
+
+
+def word_ngrams_from_tokens_expr(toks_col, n: int):
+    """Word n-grams over an already-materialized token ARRAY column.
+
+    Spark does not common-subexpression-eliminate across higher-order-
+    function boundaries, so when :func:`word_ngrams_expr` embeds the
+    tokenization expression directly, the split+filter re-runs once per
+    gram position — O(positions) full tokenizations per document.  Hot
+    callers should instead materialize the token array in its own
+    projection (``df.select(ws_tokens_expr(c).alias("_toks"))``) and
+    pass ``F.col("_toks")`` here: each slice is then O(n) array
+    references.  CollapseProject keeps the two projections separate
+    (the alias is referenced more than once and split is not cheap), so
+    the materialization survives optimization.  Measured 4.5x on the
+    DSIR featurization at sf0.1 (3.5 s -> 0.8 s for the explosion).
+    """
+    if n < 1:
+        raise ValueError(f"word_ngrams_from_tokens_expr requires n >= 1, got {n}")
     positions = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        F.size(toks_col) >= n, F.sequence(F.lit(1), F.size(toks_col) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(
+        positions, lambda i: F.concat_ws(" ", F.slice(toks_col, i, n))
+    )
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -287,59 +311,94 @@ def repetition_stats(
         raise ValueError(f"repetition_stats requires n >= 2, got {n}")
     did = F.col(id_col).cast("long").alias("id")
 
+    # Every intermediate array (lines, sorted lines, dup flags) is
+    # materialized in its own projection: higher-order functions are not
+    # common-subexpression-eliminated, so referencing the `lines`
+    # expression from five consumers re-ran the split+trim-filter five
+    # times per row (and the fraction columns re-ran their numerator
+    # aggregates).  CollapseProject keeps these projections separate —
+    # each alias is referenced more than once and none is cheap.
     lines = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
         lambda x: F.trim(x) != "",
     )
-    slines = F.array_sort(lines)
-    # [null, s1, ..., s_{L-1}]: each element paired with its predecessor.
-    shifted = F.slice(
-        F.concat(F.array(F.lit(None).cast("string")), slines),
-        1,
-        F.greatest(F.size(slines), F.lit(1)),
-    )
-    dup_flags = F.zip_with(
-        slines,
-        shifted,
-        lambda cur, prev: F.when(prev.isNotNull() & (cur == prev), F.length(cur))
-        .otherwise(F.lit(-1)),
-    )
-    n_lines = F.size(lines).cast("long")
-    n_dup = F.aggregate(
-        dup_flags,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.when(x >= 0, 1).otherwise(0),
-    )
-    dup_chars = F.aggregate(
-        dup_flags,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.when(x >= 0, x).otherwise(0),
-    )
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    line_side = df.select(
+    p_lines = df.select(
         did,
-        n_lines.alias("n_lines"),
-        n_dup.alias("n_dup_lines"),
-        dup_chars.alias("dup_line_chars"),
-        line_chars.alias("line_chars"),
         F.length(F.coalesce(F.col(text_col), F.lit("")))
         .cast("long")
         .alias("text_chars"),
+        lines.alias("_lines"),
+    )
+    p_sorted = p_lines.select(
+        "id", "text_chars", "_lines", F.array_sort("_lines").alias("_slines")
+    )
+    # [null, s1, ..., s_{L-1}]: each element paired with its predecessor.
+    shifted = F.slice(
+        F.concat(F.array(F.lit(None).cast("string")), F.col("_slines")),
+        1,
+        F.greatest(F.size("_slines"), F.lit(1)),
+    )
+    p_flags = p_sorted.select(
+        "id",
+        "text_chars",
+        "_lines",
+        F.zip_with(
+            F.col("_slines"),
+            shifted,
+            lambda cur, prev: F.when(
+                prev.isNotNull() & (cur == prev), F.length(cur)
+            ).otherwise(F.lit(-1)),
+        ).alias("_dup_flags"),
+    )
+    p_counts = p_flags.select(
+        "id",
+        "text_chars",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.aggregate(
+            F.col("_dup_flags"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x >= 0, 1).otherwise(0),
+        ).alias("n_dup_lines"),
+        F.aggregate(
+            F.col("_dup_flags"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x >= 0, x).otherwise(0),
+        ).alias("dup_line_chars"),
+        F.aggregate(
+            F.col("_lines"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("line_chars"),
+    )
+    line_side = p_counts.select(
+        "id",
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        "line_chars",
+        "text_chars",
         F.round(
-            F.when(n_lines > 0, n_dup / n_lines).otherwise(F.lit(0.0)), 4
+            F.when(
+                F.col("n_lines") > 0, F.col("n_dup_lines") / F.col("n_lines")
+            ).otherwise(F.lit(0.0)),
+            4,
         ).alias("dup_line_frac"),
         F.round(
-            F.when(line_chars > 0, dup_chars / line_chars).otherwise(F.lit(0.0)), 4
+            F.when(
+                F.col("line_chars") > 0,
+                F.col("dup_line_chars") / F.col("line_chars"),
+            ).otherwise(F.lit(0.0)),
+            4,
         ).alias("dup_line_char_frac"),
     )
 
-    grams = word_ngrams_expr(text_col, n)
     # No per-doc extras ride the explode: the char denominator already
     # sits on line_side as text_chars, so the hot (id, gram) shuffle
     # carries exactly (id, gram) and the fraction is computed post-join.
-    exploded = df.select(did, F.explode(grams).alias("gram"))
+    exploded = df.select(
+        did, ws_tokens_expr(text_col, null_as_empty=True).alias("_toks")
+    ).select(
+        "id",
+        F.explode(word_ngrams_from_tokens_expr(F.col("_toks"), n)).alias("gram"),
+    )
     counts = exploded.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
     top = counts.groupBy("id").agg(
         F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("t"),
