@@ -317,14 +317,13 @@ def q_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     must point batch->corpus, and every estimate must clear the
     threshold.  All checks are joins + aggregates; nothing is collected
     to the driver."""
-    from mgspark.cacheutil import transient_persist
     from mgspark.pipeline.dedup import minhash_incremental_pairs
 
     corpus, batch = _incremental_split(spark, sf_dir)
-    pairs = transient_persist(
-        minhash_incremental_pairs(
-            batch, corpus, "text", "doc_id", threshold=0.8, max_bucket=1 << 20
-        )
+    # pairs appears exactly once in the fused invariant plan — no
+    # persist needed (it would only add cache-store overhead).
+    pairs = minhash_incremental_pairs(
+        batch, corpus, "text", "doc_id", threshold=0.8, max_bucket=1 << 20
     )
     return _minhash_recall_invariant(batch, corpus, pairs)
 
@@ -351,16 +350,16 @@ def q_minhash_incremental_persisted(
     # from parquet; here it is built once and persisted, after which the
     # pairs computation never touches corpus text.
     corpus_sig = transient_persist(minhash_signatures(corpus, "text", "doc_id"))
-    pairs = transient_persist(
-        minhash_incremental_pairs(
-            batch,
-            None,
-            "text",
-            "doc_id",
-            threshold=0.8,
-            max_bucket=1 << 20,
-            corpus_sig=corpus_sig,
-        )
+    # pairs appears exactly once in the fused invariant plan — no
+    # persist needed (it would only add cache-store overhead).
+    pairs = minhash_incremental_pairs(
+        batch,
+        None,
+        "text",
+        "doc_id",
+        threshold=0.8,
+        max_bucket=1 << 20,
+        corpus_sig=corpus_sig,
     )
     return _minhash_recall_invariant(batch, corpus, pairs)
 
@@ -372,7 +371,15 @@ def _minhash_recall_invariant(
     rows: exact cross-side duplicates must ALL be released (identical
     text -> identical signatures -> collision in every band), released
     pairs must point batch->corpus, and every estimate clears the
-    threshold."""
+    threshold.
+
+    All four counts ride ONE fused aggregation: the exact cross-side
+    pair set (unique — doc ids are unique per side) full-outer joins
+    the released pair set on (batch_id, corpus_id), side membership
+    arrives as two marker left-joins, and every invariant is a
+    conditional sum over that single relation — previously four
+    aggregate subplans plus three crossJoins, each its own exchange
+    cascade (and exact_cross was computed twice)."""
     # join on the content hash, not the raw text — the exchange then
     # carries 32 B/row instead of whole documents
     exact_cross = (
@@ -385,39 +392,56 @@ def _minhash_recall_invariant(
             ),
             "_h",
         )
-        .select("batch_id", "corpus_id")
+        .select("batch_id", "corpus_id", F.lit(1).alias("_e"))
     )
-    n_exact = exact_cross.agg(F.count("*").alias("n_exact_cross"))
-    missing = exact_cross.join(
-        pairs.select("batch_id", "corpus_id"), ["batch_id", "corpus_id"], "left_anti"
-    ).agg(F.count("*").alias("_miss"))
-    bad_side = (
-        pairs.join(
-            batch.select(F.col("doc_id").alias("batch_id")), "batch_id", "left_anti"
-        )
-        .agg(F.count("*").alias("_bad"))
-        .unionByName(
-            pairs.join(
-                corpus.select(F.col("doc_id").alias("corpus_id")),
-                "corpus_id",
-                "left_anti",
-            ).agg(F.count("*").alias("_bad"))
-        )
-        .agg(F.sum("_bad").alias("_bad_sides"))
+    released = pairs.select(
+        "batch_id", "corpus_id", "est_jaccard", F.lit(1).alias("_p")
     )
-    below = pairs.where(F.col("est_jaccard") < 0.8).agg(
-        F.count("*").alias("_below")
-    )
-    return (
-        n_exact.crossJoin(missing)
-        .crossJoin(bad_side)
-        .crossJoin(below)
-        .select(
-            F.col("n_exact_cross").cast("long").alias("n_exact_cross"),
-            (F.col("_miss") == 0).cast("long").alias("exact_recall_complete"),
-            (F.col("_bad_sides") == 0).cast("long").alias("pairs_cross_side"),
-            (F.col("_below") == 0).cast("long").alias("estimates_at_threshold"),
+    fused = (
+        exact_cross.join(released, ["batch_id", "corpus_id"], "full_outer")
+        .join(
+            batch.select(F.col("doc_id").alias("batch_id"), F.lit(1).alias("_b")),
+            "batch_id",
+            "left",
         )
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("corpus_id"), F.lit(1).alias("_c")
+            ),
+            "corpus_id",
+            "left",
+        )
+        .agg(
+            F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_exact_cross"),
+            F.coalesce(
+                F.sum(F.when(F.col("_e").isNotNull() & F.col("_p").isNull(), 1)),
+                F.lit(0),
+            ).alias("_miss"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_p").isNotNull()
+                        & (F.col("_b").isNull() | F.col("_c").isNull()),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias("_bad_sides"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_p").isNotNull() & (F.col("est_jaccard") < 0.8), 1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_below"),
+        )
+    )
+    return fused.select(
+        "n_exact_cross",
+        (F.col("_miss") == 0).cast("long").alias("exact_recall_complete"),
+        (F.col("_bad_sides") == 0).cast("long").alias("pairs_cross_side"),
+        (F.col("_below") == 0).cast("long").alias("estimates_at_threshold"),
     )
 
 

@@ -177,27 +177,36 @@ def minhash_incremental_pairs(
             raise ValueError(
                 f"corpus_sig must have columns (id, sig); missing {sorted(missing)}"
             )
+        csig = transient_persist(corpus_sig.select("id", "sig"))
+        bsig.count()  # materialize before the multi-consumer fan-out
         # A table built with a different num_hashes would band with the
         # wrong geometry and null out every zip_with estimate — ALL
         # cross-side near-dups silently missed, the unsafe direction.
-        # One row bounds the check's cost; signatures are fixed-length
-        # by construction so one row is representative.
-        probe = corpus_sig.select(F.size("sig").alias("_n")).first()
-        if probe is not None and probe["_n"] != num_hashes:
+        # The check rides the materialization aggregate, so it covers
+        # EVERY row (a mixed-build table cannot hide behind a valid
+        # first row) at no extra job: min == max == num_hashes.
+        geom = csig.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.size("sig")).alias("_lo"),
+            F.max(F.size("sig")).alias("_hi"),
+        ).first()
+        if geom["_n"] and (
+            geom["_lo"] != num_hashes or geom["_hi"] != num_hashes
+        ):
             raise ValueError(
-                f"corpus_sig signatures have length {probe['_n']} but "
-                f"num_hashes={num_hashes} — rebuild the signature table "
-                "or pass the num_hashes it was built with"
+                f"corpus_sig signatures have length(s) "
+                f"[{geom['_lo']}, {geom['_hi']}] but num_hashes="
+                f"{num_hashes} — rebuild the signature table or pass "
+                "the num_hashes it was built with"
             )
-        csig = transient_persist(corpus_sig.select("id", "sig"))
     elif corpus is not None:
         csig = transient_persist(
             minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
         )
+        bsig.count()  # materialize before the multi-consumer fan-out
+        csig.count()
     else:
         raise ValueError("pass either corpus (one-shot) or corpus_sig (incremental)")
-    bsig.count()  # materialize before the multi-consumer fan-out
-    csig.count()
     bands_b = _band_relation(bsig, num_bands, rows_per_band)
     bands_c = _band_relation(csig, num_bands, rows_per_band)
     hot = (

@@ -195,8 +195,32 @@ def test_minhash_incremental_rejects_mismatched_signature_length(spark):
     corpus = spark.createDataFrame([(1, _sentences("v1"))], "id long, text string")
     sig64 = minhash_signatures(corpus, "text", "id", num_hashes=64)
     batch = spark.createDataFrame([(100, _sentences("v1"))], "id long, text string")
-    with pytest.raises(ValueError, match="length 64.*num_hashes=128"):
+    with pytest.raises(ValueError, match=r"length\(s\) \[64, 64\].*num_hashes=128"):
         minhash_incremental_pairs(batch, None, "text", "id", corpus_sig=sig64)
+
+
+def test_minhash_incremental_rejects_mixed_build_signature_table(spark):
+    """VERDICT r5 #3: the geometry check covers EVERY row (min==max==
+    num_hashes over the whole table), so a mixed-build table whose
+    FIRST row happens to have the right length still raises instead of
+    silently nulling the bad rows' estimates."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from mgspark.pipeline.dedup import minhash_incremental_pairs, minhash_signatures
+
+    corpus = spark.createDataFrame(
+        [(1, _sentences("v1")), (2, _sentences("v2"))], "id long, text string"
+    )
+    good = minhash_signatures(corpus, "text", "id", num_hashes=128)
+    # corrupt ONE row: truncate its signature to 64 values
+    mixed = good.withColumn(
+        "sig", F.when(F.col("id") == 2, F.slice("sig", 1, 64)).otherwise(F.col("sig"))
+    )
+    batch = spark.createDataFrame([(100, _sentences("v1"))], "id long, text string")
+    with pytest.raises(ValueError, match=r"length\(s\) \[64, 128\]"):
+        minhash_incremental_pairs(batch, None, "text", "id", corpus_sig=mixed)
 
 
 def test_minhash_incremental_hot_bucket_cap(spark):
