@@ -28,7 +28,11 @@ def _mg_topk_query(table: str, col: str, k: int):
         from mgspark.aggregate import mg_topk
 
         df = _read(spark, sf_dir, table).select(F.col(col).cast("string").alias("token"))
-        return mg_topk(df, "token", k)
+        # Categorical columns are definitionally distinct << rows — pin
+        # the combiner plan instead of paying the auto-probe job (the
+        # probe picks it on every one of these tables; "auto" stays the
+        # default for unknown inputs).
+        return mg_topk(df, "token", k, pre_aggregate=True)
 
     return run
 
@@ -49,14 +53,17 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mg_topk_doc_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.aggregate import mg_topk
 
-    return mg_topk(_doc_tokens(spark, sf_dir), "token", 256)
+    # 31-token synthetic vocabulary: distinct << rows by construction —
+    # pin the combiner (the auto probe picks it; this just skips the
+    # probe job).
+    return mg_topk(_doc_tokens(spark, sf_dir), "token", 256, pre_aggregate=True)
 
 
 def q_mg_sketch_doc_tokens_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True sketching: k=8 < vocab, decrements fire; bound checked in pytest."""
     from mgspark.aggregate import mg_topk
 
-    return mg_topk(_doc_tokens(spark, sf_dir), "token", 8)
+    return mg_topk(_doc_tokens(spark, sf_dir), "token", 8, pre_aggregate=True)
 
 
 def q_mg_sketch_bound_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,21 +77,33 @@ def q_mg_sketch_bound_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     tokens = _doc_tokens(spark, sf_dir)
-    est = mg_topk(tokens, "token", k)
+    est = mg_topk(tokens, "token", k, pre_aggregate=True)
     exact = tokens.groupBy("token").agg(F.count("*").alias("true_cnt"))
     joined = est.join(exact, "token", "left")
-    total = tokens.count()
-    cap = total // (k + 1)
-    agg = joined.agg(
+    # total_tokens = sum over the full exact relation (not just the
+    # joined survivors) — computed in the same action as the violation
+    # counts via a 1-row crossJoin instead of a separate count() job,
+    # which re-scanned the whole token explosion a third time.
+    totals = exact.agg(F.sum("true_cnt").cast("long").alias("total_tokens"))
+    agg = joined.crossJoin(totals).agg(
         F.coalesce(F.sum((F.col("est") > F.col("true_cnt")).cast("long")), F.lit(0)).alias(
             "over_violations"
         ),
         F.coalesce(
-            F.sum((F.col("true_cnt") - F.col("est") > F.lit(cap)).cast("long")), F.lit(0)
+            F.sum(
+                (
+                    F.col("true_cnt") - F.col("est")
+                    > F.floor(F.col("total_tokens") / F.lit(k + 1))
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("under_violations"),
         (F.count("*") <= k).cast("long").alias("released_le_k"),
+        F.first("total_tokens").alias("total_tokens"),
     )
-    return agg.withColumn("total_tokens", F.lit(total).cast("long"))
+    return agg.select(
+        "over_violations", "under_violations", "released_le_k", "total_tokens"
+    )
 
 
 def q_hll_vs_exact_user_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +206,9 @@ def q_mg_private_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("token")
     )
     encoded = encode_tokens(events, "token")
-    state, mapping = mg_sketch_with_tokens(encoded, "key", 10, token_col="token")
+    state, mapping = mg_sketch_with_tokens(
+        encoded, "key", 10, token_col="token", pre_aggregate=True
+    )
     released = dp.privatize_merged(state.to_dict(), 10, epsilon=2.0, delta=1e-6)
     rows = [(mapping.get(key, str(key)), int(cnt)) for key, cnt in released.items()]
     return spark.createDataFrame(rows, "token string, est long")
@@ -1888,7 +1909,9 @@ def q_mg_pure_dp_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     encoded, inverse, dict_size = dictionary_encode(docs, "lang")
-    state = mg_sketch(encoded.select("key"), "key", k=3)
+    # 5-language dictionary over 5000 rows: distinct << rows — pin the
+    # combiner (the auto probe picks it; this skips the probe job).
+    state = mg_sketch(encoded.select("key"), "key", k=3, pre_aggregate=True)
     released = dp.purely_privatize_merged(
         state.to_dict(), 3, epsilon=5.0, universe_size=max(dict_size, 3) + 1
     )
@@ -1905,8 +1928,12 @@ def q_mg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     pre = events.groupBy("event_type").agg(F.count("*").alias("w"))
     encoded = encode_tokens(pre, "event_type")
+    # The input IS already the pre-aggregated (token, weight) relation —
+    # pin the zero-shuffle path (the auto probe picks it: distinct ==
+    # rows); this just skips the probe job.
     state, mapping = mg_sketch_with_tokens(
-        encoded, "key", 10, token_col="event_type", weight_col="w"
+        encoded, "key", 10, token_col="event_type", weight_col="w",
+        pre_aggregate=False
     )
     rows = [
         (mapping.get(int(key), str(int(key))), int(cnt))

@@ -202,7 +202,6 @@ def bm25_build(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
     docs = df.select(
         F.col(id_col).alias("id"), F.size(toks).alias("dl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    docs.count()
     postings = (
         df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"),
                   F.explode(toks).alias("term"))
@@ -210,6 +209,9 @@ def bm25_build(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     postings.count()
+    # The corpus-scalar aggregate doubles as docs' materialization —
+    # scanning the persisted-but-cold relation caches every partition,
+    # so a separate docs.count() job is redundant.
     stats = docs.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
