@@ -492,38 +492,37 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-ordered sample.  DuckDB recomputes n_exact pairwise and pins
     the flags; the subset/recall checks run as anti-joins + counts,
     nothing collected to the driver."""
-    from mgspark.cacheutil import transient_persist
     from mgspark.pipeline.similarity import (
         embedding_near_dup_pairs,
         semantic_dedup_pairs,
     )
 
     emb = spark.read.parquet(_CLUSTERED_EMB_PARQUET)
-    sem = transient_persist(
-        semantic_dedup_pairs(
-            emb, "embedding", "vec_id", threshold=0.99, n_clusters=8
-        ).select("id_a", "id_b")
+    # All three invariant counts ride ONE fused aggregation over a
+    # full-outer join of the two (unique) pair sets — each pair
+    # pipeline appears exactly once in the plan, so the persists (and
+    # the two anti-join aggregate subplans plus crossJoins) are gone.
+    sem = semantic_dedup_pairs(
+        emb, "embedding", "vec_id", threshold=0.99, n_clusters=8
+    ).select("id_a", "id_b", F.lit(1).alias("_s"))
+    exact = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.99, method="exact"
+    ).select("id_a", "id_b", F.lit(1).alias("_e"))
+    fused = sem.join(exact, ["id_a", "id_b"], "full_outer").agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s").isNotNull() & F.col("_e").isNull(), 1)),
+            F.lit(0),
+        ).alias("_stray"),
+        F.coalesce(
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_s").isNull(), 1)),
+            F.lit(0),
+        ).alias("_miss"),
     )
-    exact = transient_persist(
-        embedding_near_dup_pairs(
-            emb, "embedding", "vec_id", threshold=0.99, method="exact"
-        ).select("id_a", "id_b")
-    )
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    stray = sem.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count("*").alias("_stray")
-    )
-    missing = exact.join(sem, ["id_a", "id_b"], "left_anti").agg(
-        F.count("*").alias("_miss")
-    )
-    return (
-        n_exact.crossJoin(stray)
-        .crossJoin(missing)
-        .select(
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("_stray") == 0).cast("long").alias("sem_subset_exact"),
-            (F.col("_miss") == 0).cast("long").alias("sem_recall_complete"),
-        )
+    return fused.select(
+        "n_exact",
+        (F.col("_stray") == 0).cast("long").alias("sem_subset_exact"),
+        (F.col("_miss") == 0).cast("long").alias("sem_recall_complete"),
     )
 
 

@@ -260,10 +260,13 @@ def tfidf_top_terms(
     doc_freq = (
         terms.distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
     )
-    n_docs = df.count()
-    scored = tf.join(doc_freq, "term").withColumn(
+    # N rides the scoring plan as a 1-row crossJoin instead of a
+    # separate df.count() job — same value, same double arithmetic.
+    totals = df.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    scored = tf.join(doc_freq, "term").crossJoin(totals).withColumn(
         "_s",
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)),
+        F.col("tf")
+        * F.log((F.col("_n_docs") + 1.0) / (F.col("doc_freq") + 1.0)),
     )
     win = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("term"))
     return (
