@@ -2095,22 +2095,31 @@ def q_hll_grouped_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mgspark.sketches.hll import hll_distinct_grouped
 
     events = _read(spark, sf_dir, "events")
-    est = {
-        r["event_type"]: r["n_distinct_est"]
-        for r in hll_distinct_grouped(events, "event_type", "user_id").collect()
-    }
-    exact = {
-        r["event_type"]: r["c"]
-        for r in events.groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("c"))
-        .collect()
+    # Both sides in ONE action: the sketch estimates join the exact
+    # distinct counts on the group key (null-safe key passthrough), one
+    # collect instead of two sequential multi-stage jobs.
+    est_df = hll_distinct_grouped(events, "event_type", "user_id").select(
+        F.col("event_type").alias("_g"), "n_distinct_est"
+    )
+    exact_df = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("c")
+    )
+    both = {
+        (r["event_type"]): (r["c"], r["n_distinct_est"])
+        for r in exact_df.join(
+            est_df, exact_df["event_type"].eqNullSafe(est_df["_g"]), "left"
+        ).collect()
     }
     rows = [
-        (g, int(exact[g]), 1 if abs(est[g] - exact[g]) <= 0.025 * exact[g] else 0)
+        (
+            g,
+            int(both[g][0]),
+            1 if abs(both[g][1] - both[g][0]) <= 0.025 * both[g][0] else 0,
+        )
         # None-robust sort: a null group would make sorted() raise on
         # None < str even though the library and the SQL oracle both
         # support null groups.
-        for g in sorted(exact, key=lambda k: (k is None, k))
+        for g in sorted(both, key=lambda k: (k is None, k))
     ]
     return spark.createDataFrame(
         rows, "event_type string, true_distinct long, within_bound long"

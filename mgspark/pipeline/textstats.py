@@ -220,11 +220,50 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     detection via the Unicode block ratio; 'und' fallback when no
     evidence.  Pure JVM column expressions (whole-stage codegen, no
     Python in the scan) — and therefore SQL-oracle-able.
+
+    Staged projections (same expressions, same results as the one-shot
+    :func:`lang_pred_expr`): the lowered token array materializes once,
+    then the per-language stopword counts, then the argmax — the
+    monolithic Column re-ran the regex split inside every language's
+    filter lambda and every score twice more in the argmax chain (no
+    CSE across higher-order functions).  Measured ~2x at sf0.1.
     """
-    return df.select(
+    langs = sorted(_STOPWORDS)
+    p_toks = df.select(
         F.col(id_col).cast("long").alias("id"),
-        lang_pred_expr(text_col).alias("lang_pred"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).select(
+        "id",
+        "_t",
+        F.filter(
+            F.split(F.lower(F.col("_t")), r"\s+"), lambda t: t != ""
+        ).alias("_ltoks"),
     )
+    score_cols = []
+    for lang in langs:
+        words = F.array(*[F.lit(w) for w in sorted(_STOPWORDS[lang])])
+        score_cols.append(
+            F.size(
+                F.filter(F.col("_ltoks"), lambda t: F.array_contains(words, t))
+            ).alias(f"_s_{lang}")
+        )
+    p_scores = p_toks.select(
+        "id",
+        (
+            F.regexp_count(F.col("_t"), F.lit("[一-鿿]"))
+            / F.greatest(F.length("_t"), F.lit(1))
+        ).alias("_cjk"),
+        F.size("_ltoks").alias("_ntoks"),
+        *score_cols,
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.when(F.col("_cjk") > 0.05, F.lit("zh")).when(
+        (F.col("_ntoks") == 0) | (best == 0), F.lit("und")
+    )
+    # First max in sorted lang order — same tie-break as np.argmax.
+    for lang in langs:
+        pred = pred.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return p_scores.select("id", pred.alias("lang_pred"))
 
 
 def tfidf_top_terms(
