@@ -244,6 +244,21 @@ def minhash_incremental_pairs(
     )
 
 
+def _widen_for_python_stage(df: DataFrame) -> DataFrame:
+    """Spread a narrow input over the cluster before a CPU-heavy Python
+    stage.  mapInPandas parallelism equals the input partition count;
+    a small parquet input (one split) would run the whole shingle/sign
+    pass on ONE core while 31 idle.  Gated so a real at-scale input
+    (splits >= cores) never pays the shuffle — the same pattern as
+    pipeline/decontam's ``widen``.  Round-robin repartition is safe
+    under retries (sort-before-repartition is on by default) and the
+    per-row outputs are deterministic, so results are unchanged."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_hashes_batch(texts: pd.Series, size: int) -> list[np.ndarray]:
     # PYTHONHASHSEED is not fixed across executors; use a deterministic
     # numpy path instead of builtin hash: encode shingles via their bytes.
@@ -297,8 +312,8 @@ def shingle_relation(
                 shingles.extend(hashes.tolist())
             yield pd.DataFrame({"id": ids, "shingle": shingles})
 
-    projected = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    projected = _widen_for_python_stage(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
     # _shingle_hashes_batch already dedups within a doc (np.unique),
     # except the short-text fallback which emits one hash anyway.
@@ -354,8 +369,8 @@ def minhash_signatures(
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
-    projected = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    projected = _widen_for_python_stage(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
     return projected.mapInPandas(compute, schema)
 
@@ -568,8 +583,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
                 fps[i] = np.int64(fp.sum(dtype=np.uint64).astype(np.int64))
             yield pd.DataFrame({"id": ids, "simhash": fps})
 
-    projected = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    projected = _widen_for_python_stage(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
     return projected.mapInPandas(compute, schema)
 
