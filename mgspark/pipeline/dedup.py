@@ -1086,52 +1086,76 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(F.col(text_col), " ").alias("_toks"),
-        )
-        .select("id", F.explode(gram_arr).alias("gram"))
-        .distinct()
-    )
-    # The gram relation feeds 3-4 consumers (hot-gram blacklist, both
-    # self-join sides, per-doc sizes); unpersisted, each re-runs the
-    # explode AND the distinct's shuffle.  Same pattern (and the same
-    # bounded registry) as minhash signatures; measured 8.5->6.2 s cold,
-    # 2.6->1.9 s warm at sf0.1.  Eager count() for the same reason as
-    # minhash: concurrent first consumers otherwise each recompute
-    # before a cache block lands.
-    grams = transient_persist(grams)
-    if eager_cache:
-        # Plan-only callers (explain audits, plan tests) pass False to
-        # keep construction side-effect-free.
-        grams.count()
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("id", F.explode(gram_arr).alias("gram"))
     if max_doc_freq is not None:
-        # Hot-gram blacklist via groupBy + BROADCAST anti-join rather
-        # than a Window count over gram: the whole point of the cap is
-        # that some grams are catastrophically hot, and a Window sends
-        # every instance of a hot gram to one task with no map-side
-        # combine and no AQE skew split (Spark can split skewed join
-        # partitions but never window partitions).  The groupBy partial-
-        # aggregates hot grams map-side, and the blacklist it emits is
-        # tiny by construction (only grams with > max_doc_freq docs), so
-        # the anti-join broadcasts — no second shuffle of the gram rows.
-        hot = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("gram")
+        # Bounded-bucket plan (the scale path): ONE groupBy(gram) builds
+        # the sorted per-gram doc list via collect_set (the within/
+        # cross-doc dedup the old plan paid a separate distinct exchange
+        # for), the doc-frequency cap becomes a size filter on the list
+        # (replacing the hot-gram blacklist aggregation AND its
+        # broadcast anti-join), and candidate pairs are a pure-JVM
+        # nested-transform expansion of each <= cap list — C(d,2) <=
+        # 8128 rows per gram at the default cap, the same bounded-bucket
+        # guarantee as the LSH band join — with no self-join of the gram
+        # relation at all.  Pair set and counts are identical to the
+        # join formulation: ids are unique per list, sorted ascending,
+        # so each shared gram emits each (id_a < id_b) pair exactly
+        # once.  Exchanges: 6 -> 3.
+        buckets = transient_persist(
+            exploded.groupBy("gram")
+            .agg(F.array_sort(F.collect_set("id")).alias("_ids"))
+            .where(F.size("_ids") <= max_doc_freq)
+            .select("_ids")
         )
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    g1 = grams.select(F.col("id").alias("id_a"), "gram")
-    g2 = grams.select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        g1.join(g2, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+        if eager_cache:
+            # Plan-only callers (explain audits, plan tests) pass False
+            # to keep construction side-effect-free.
+            buckets.count()
+        sizes = (
+            buckets.select(F.explode("_ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_grams"))
+        )
+        ids = F.col("_ids")
+        pair_structs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(2), F.size(ids)),
+                lambda j: F.transform(
+                    F.sequence(F.lit(1), j - 1),
+                    lambda i: F.struct(
+                        F.element_at(ids, i).alias("id_a"),
+                        F.element_at(ids, j).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+        inter = (
+            buckets.where(F.size("_ids") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # Exact twin (the oracle-side quadratic-by-definition variant):
+        # gram self-join.  The gram relation feeds three consumers (both
+        # join sides, per-doc sizes); unpersisted, each re-runs the
+        # explode AND the distinct's shuffle.
+        grams = transient_persist(exploded.distinct())
+        if eager_cache:
+            grams.count()
+        sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+        g1 = grams.select(F.col("id").alias("id_a"), "gram")
+        g2 = grams.select(F.col("id").alias("id_b"), "gram")
+        inter = (
+            g1.join(g2, "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     s1 = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     s2 = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (

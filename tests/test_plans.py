@@ -141,13 +141,15 @@ def test_bpe_token_stats_stays_jvm_side(docs):
     assert "source" not in read_schema[0], "must not read unused columns"
 
 
-def test_ngram_doc_freq_cap_is_broadcast_anti_join(docs):
-    """The max_doc_freq cap must be a map-side-combinable groupBy(gram)
-    feeding a BROADCAST anti-join of the (tiny) hot-gram blacklist — not
-    a Window over gram, which would pin every instance of the hottest
-    gram to one task with no partial aggregation and no AQE skew split.
-    The gram rows themselves must not gain a shuffle for the filter: the
-    anti-join has to be broadcast, never sort-merge."""
+def test_ngram_doc_freq_cap_is_bounded_bucket_plan(docs):
+    """The capped (scale) path must be the bounded-bucket plan: ONE
+    groupBy(gram) whose sorted collect_set both dedups and carries the
+    doc list, the cap a size filter on that list, and candidate pairs a
+    pure-JVM Generate expansion of each <= cap list — NO self-join of
+    the gram relation (the old plan shuffled it into a join twice), no
+    Window over gram (which would pin the hottest gram to one task with
+    no partial aggregation and no AQE skew split), no anti-join.  The
+    uncapped exact twin keeps the gram self-join by definition."""
     from mgspark.pipeline.dedup import ngram_jaccard_pairs
 
     uncapped = _formatted(
@@ -157,9 +159,20 @@ def test_ngram_doc_freq_cap_is_broadcast_anti_join(docs):
         ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=8, eager_cache=False)
     ).split("\n\n")[0]
     assert "Window" not in capped and "Window" not in uncapped
-    anti = [l for l in capped.splitlines() if "Join" in l and "LeftAnti" in l]
-    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
-    assert "SortMergeJoin LeftAnti" not in capped
+    # pair generation is an explode (Generate), never a join on gram —
+    # the only joins left attach the (vocabulary-sized) per-doc sizes
+    gram_joins = [
+        l for l in capped.splitlines() if "Join" in l and "gram" in l
+    ]
+    assert not gram_joins, gram_joins
+    # collect_set aggregates run as ObjectHashAggregate nodes; the pair
+    # expansion is a Generate (explode), present in the node tree
+    assert "ObjectHashAggregate" in capped, capped
+    assert "Generate" in capped, capped
+    # the exact twin still self-joins on gram: one more join node than
+    # the capped plan's two size-attach joins
+    n_join = lambda plan: sum("Join" in l for l in plan.splitlines())
+    assert n_join(uncapped) > n_join(capped), (n_join(uncapped), n_join(capped))
 
 
 def test_mg_topk_probe_scans_single_column(docs):
