@@ -1054,28 +1054,36 @@ def q_simhash_recall_vs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 8)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
     )
-    true_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in simhash_near_pairs(
-            docs, "text", "doc_id", max_hamming=8, max_bucket=1 << 30
-        ).collect()
-    }
-    n_docs = docs.count()
-    # found_pairs pins non-vacuity: an upstream regression that empties
-    # the pipeline cannot pass on two empty sets.
-    return spark.createDataFrame(
-        [
-            (
-                int(n_docs),
-                int(len(true_pairs) > 0),
-                int(got <= true_pairs),
-                int(got == true_pairs),
-            )
-        ],
-        "n_docs long, found_pairs long, subset_ok long, complete_ok long",
+    got = simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=8, max_bucket=1 << 30
+    ).select("id_a", "id_b", F.lit(1).alias("_g"))
+    # All three set relations in ONE fused aggregation (full-outer join
+    # of the unique pair sets; subset = no stray, equality = no stray
+    # and no missing) instead of two pair collects to the driver plus a
+    # separate count job.  found_pairs pins non-vacuity: an upstream
+    # regression that empties the pipeline cannot pass on two empty
+    # sets.
+    stats = truth.join(got, ["id_a", "id_b"], "full_outer").agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("_n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("_g").isNotNull() & F.col("_t").isNull(), 1)),
+            F.lit(0),
+        ).alias("_stray"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t").isNotNull() & F.col("_g").isNull(), 1)),
+            F.lit(0),
+        ).alias("_miss"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return totals.crossJoin(stats).select(
+        "n_docs",
+        (F.col("_n_true") > 0).cast("long").alias("found_pairs"),
+        (F.col("_stray") == 0).cast("long").alias("subset_ok"),
+        ((F.col("_stray") == 0) & (F.col("_miss") == 0))
+        .cast("long")
+        .alias("complete_ok"),
     )
 
 
