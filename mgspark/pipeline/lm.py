@@ -78,7 +78,6 @@ def lm_train(
         .limit(vocab_size)
         .persist()
     )
-    kept_v = uni.count()
     vocab = uni.select("tok")
     bi = (
         ref.select(ws_tokens_expr(text_col, null_as_empty=True).alias("_toks"))
@@ -95,7 +94,12 @@ def lm_train(
         .select("bg", "n")
         .persist()
     )
+    # ONE heavy job: materializing the bigram table also materializes
+    # the persisted vocabulary (its broadcast build executes uni's
+    # plan), so the vocab-size count that follows is a cache read —
+    # previously two sequential full-scan jobs.
     bi.count()
+    kept_v = uni.count()
     return BigramLM(unigrams=uni, bigrams=bi, vocab_size=int(kept_v))
 
 
