@@ -104,12 +104,18 @@ def bm25_topk(
 
     from mgspark.cacheutil import transient_persist
 
-    toks = _tok_expr(text_col)
+    # Materialize the token array once per row: higher-order functions
+    # are not common-subexpression-eliminated, so referencing the
+    # tokenization expression from dl + every per-term filter re-ran the
+    # split q+1 times per document (see
+    # textstats.word_ngrams_from_tokens_expr for the same pattern).
     proj = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("dl"),
+        F.col(id_col).alias("id"), _tok_expr(text_col).alias("_toks")
+    ).select(
+        "id",
+        F.size("_toks").alias("dl"),
         *[
-            F.size(F.filter(toks, _eq_lit(term))).alias(f"tf{i}")
+            F.size(F.filter(F.col("_toks"), _eq_lit(term))).alias(f"tf{i}")
             for i, term in enumerate(terms)
         ],
     )
@@ -256,8 +262,6 @@ def bm25_topk_indexed(
     avgdl = float(index.total_dl) / float(n) if index.total_dl > 0 else 1.0
 
     hits = index.postings.where(F.col("term").isin(terms))
-    dfs = {r["term"]: int(r["n_df"]) for r in
-           hits.groupBy("term").agg(F.count(F.lit(1)).alias("n_df")).collect()}
     # one combiner aggregate pivots the (few) query terms into per-term
     # tf columns and carries dl along — no join back to the docs table
     matched = hits.groupBy("id").agg(
@@ -269,18 +273,50 @@ def bm25_topk_indexed(
             for i, t in enumerate(terms)
         ],
     )
+    if idf == "rational":
+        # Rational IDF is pure IEEE arithmetic (no transcendental), so
+        # the per-term document frequencies can stay IN the plan as a
+        # broadcast 1-row crossJoin — the same (n - df + 0.5)/(df + 0.5)
+        # AST evaluates bit-identically whether df arrives as a column
+        # or a collected Python literal, and the separate dfs collect
+        # job disappears.  The lucene path keeps the collect: log1p in
+        # the JVM vs Python's math.log1p is not guaranteed ulp-identical
+        # and the scores are hash-compared.
+        dfs_row = F.broadcast(
+            hits.groupBy().agg(
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("term") == t, 1)), F.lit(0)
+                    )
+                    .cast("double")
+                    .alias(f"df{i}")
+                    for i, t in enumerate(terms)
+                ]
+            )
+        )
+        matched = matched.crossJoin(dfs_row)
+        w_cols = {
+            i: (F.lit(float(n)) - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            for i in range(len(terms))
+        }
+    else:
+        dfs = {r["term"]: int(r["n_df"]) for r in
+               hits.groupBy("term").agg(F.count(F.lit(1)).alias("n_df")).collect()}
+        w_cols = {}
+        for i, t in enumerate(terms):
+            dfi = dfs.get(t, 0)
+            ratio = (float(n) - float(dfi) + 0.5) / (float(dfi) + 0.5)
+            w_cols[i] = F.lit(float(math.log1p(ratio)))
 
     score = None
     for i, t in enumerate(terms):
-        dfi = dfs.get(t, 0)
-        ratio = (float(n) - float(dfi) + 0.5) / (float(dfi) + 0.5)
-        w = math.log1p(ratio) if idf == "lucene" else ratio
         tf = F.col(f"tf{i}").cast("double")
         denom = tf + F.lit(float(k1)) * (
             F.lit(1.0 - float(b))
             + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(avgdl)
         )
-        contrib = F.lit(float(w)) * (tf * F.lit(float(k1) + 1.0)) / denom
+        contrib = w_cols[i] * (tf * F.lit(float(k1) + 1.0)) / denom
         score = contrib if score is None else score + contrib
 
     top = (
