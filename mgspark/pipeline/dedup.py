@@ -959,13 +959,22 @@ def connected_components(
     # Ids keep their native type: min-label propagation only needs a
     # total order, so string/uuid ids work too (a long cast would null
     # them out and silently keep every duplicate).
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    raw = transient_persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
+    # Union-find is orientation- and duplicate-insensitive, so the
+    # local path consumes the RAW pair list — the symmetrize + distinct
+    # exchange below exists only for min-label propagation (which needs
+    # both directions and deduped edges) and is now paid only on the
+    # iterative path.  The size gate compares the symmetrized edge
+    # count (2x raw) against the threshold, preserving the old
+    # local-vs-iterative boundary.
+    if raw.count() * 2 <= local_threshold:
+        return _union_find_local(raw)
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = transient_persist(edges)
-    if edges.count() <= local_threshold:
-        return _union_find_local(edges)
     labels = (
         edges.select("src")
         .distinct()
