@@ -178,35 +178,49 @@ def minhash_incremental_pairs(
                 f"corpus_sig must have columns (id, sig); missing {sorted(missing)}"
             )
         csig = transient_persist(corpus_sig.select("id", "sig"))
-        bsig.count()  # materialize before the multi-consumer fan-out
-        # A table built with a different num_hashes would band with the
-        # wrong geometry and null out every zip_with estimate — ALL
-        # cross-side near-dups silently missed, the unsafe direction.
-        # The check rides the materialization aggregate, so it covers
-        # EVERY row (a mixed-build table cannot hide behind a valid
-        # first row) at no extra job: min == max == num_hashes.
-        geom = csig.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(F.size("sig")).alias("_lo"),
-            F.max(F.size("sig")).alias("_hi"),
-        ).first()
-        if geom["_n"] and (
-            geom["_lo"] != num_hashes or geom["_hi"] != num_hashes
-        ):
-            raise ValueError(
-                f"corpus_sig signatures have length(s) "
-                f"[{geom['_lo']}, {geom['_hi']}] but num_hashes="
-                f"{num_hashes} — rebuild the signature table or pass "
-                "the num_hashes it was built with"
-            )
     elif corpus is not None:
         csig = transient_persist(
             minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
         )
-        bsig.count()  # materialize before the multi-consumer fan-out
-        csig.count()
     else:
         raise ValueError("pass either corpus (one-shot) or corpus_sig (incremental)")
+    # ONE materialization job for BOTH persisted sides (the two sign
+    # passes fill the cluster concurrently instead of running as two
+    # sequential waves), which doubles as the corpus-side geometry
+    # check: a table built with a different num_hashes would band with
+    # the wrong geometry and null out every zip_with estimate — ALL
+    # cross-side near-dups silently missed, the unsafe direction.  The
+    # aggregate covers EVERY row (a mixed-build table cannot hide
+    # behind a valid first row): min == max == num_hashes.
+    geom = {
+        row["_side"]: row
+        for row in (
+            bsig.select(F.lit("b").alias("_side"), F.size("sig").alias("_len"))
+            .unionByName(
+                csig.select(F.lit("c").alias("_side"), F.size("sig").alias("_len"))
+            )
+            .groupBy("_side")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("_len").alias("_lo"),
+                F.max("_len").alias("_hi"),
+            )
+            .collect()
+        )
+    }
+    crow = geom.get("c")
+    if (
+        corpus_sig is not None
+        and crow is not None
+        and crow["_n"]
+        and (crow["_lo"] != num_hashes or crow["_hi"] != num_hashes)
+    ):
+        raise ValueError(
+            f"corpus_sig signatures have length(s) "
+            f"[{crow['_lo']}, {crow['_hi']}] but num_hashes="
+            f"{num_hashes} — rebuild the signature table or pass "
+            "the num_hashes it was built with"
+        )
     bands_b = _band_relation(bsig, num_bands, rows_per_band)
     bands_c = _band_relation(csig, num_bands, rows_per_band)
     hot = (
