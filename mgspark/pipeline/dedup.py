@@ -1171,12 +1171,18 @@ def ngram_jaccard_pairs(
         if eager_cache:
             grams.count()
         sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-        g1 = grams.select(F.col("id").alias("id_a"), "gram")
-        g2 = grams.select(F.col("id").alias("id_b"), "gram")
+        # Self-join via aliases of the SAME relation (renaming only
+        # after the join): both sides' Exchange(hash(gram)) then
+        # canonicalize identically and ReusedExchange shuffles the gram
+        # relation once, not twice.
+        g1 = grams.alias("_ga")
+        g2 = grams.alias("_gb")
         inter = (
-            g1.join(g2, "gram")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
+            g1.join(g2, F.col("_ga.gram") == F.col("_gb.gram"))
+            .where(F.col("_ga.id") < F.col("_gb.id"))
+            .groupBy(
+                F.col("_ga.id").alias("id_a"), F.col("_gb.id").alias("id_b")
+            )
             .agg(F.count("*").alias("n_inter"))
         )
     s1 = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
