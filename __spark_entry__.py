@@ -1881,11 +1881,23 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mgspark.aggregate import encode_tokens
     from mgspark.sketches import cms_estimates
 
     li = _read(spark, sf_dir, "lineitem")
-    flags = sorted(r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect())
-    ests = cms_estimates(li, "l_returnflag", flags, eps=1e-3)
+    # ONE probe-keys job: the distinct scan collects each flag WITH its
+    # encode_tokens hash, so cms_estimates skips its probe-hashing
+    # round-trip (3 probe values previously cost a whole Spark job).
+    probe = sorted(
+        (r["l_returnflag"], r["_key"])
+        for r in encode_tokens(
+            li.select("l_returnflag").distinct(), "l_returnflag", "_key"
+        ).collect()
+    )
+    flags = [v for v, _ in probe]
+    ests = cms_estimates(
+        li, "l_returnflag", flags, eps=1e-3, probe_hashed=[h for _, h in probe]
+    )
     return spark.createDataFrame(
         [(flag, int(est)) for flag, est in ests.items()], "token string, est long"
     )

@@ -58,18 +58,32 @@ def hll_distinct(df: DataFrame, col: str, p: int = 14) -> float:
 
 
 def cms_estimates(
-    df: DataFrame, col: str, probe_keys: list, eps: float = 1e-4, delta: float = 1e-3
+    df: DataFrame,
+    col: str,
+    probe_keys: list,
+    eps: float = 1e-4,
+    delta: float = 1e-3,
+    probe_hashed: list | None = None,
 ) -> dict:
-    """Count-Min point-frequency estimates for ``probe_keys`` (raw values)."""
-    from pyspark.sql import functions as F
-
+    """Count-Min point-frequency estimates for ``probe_keys`` (raw
+    values).  ``probe_hashed`` optionally supplies the keys' already-
+    computed ``encode_tokens`` hashes (e.g. collected alongside a
+    distinct-keys scan), skipping the one-job probe-hashing round-trip;
+    it must align with ``probe_keys``."""
     sketch = CountMinSketch(eps, delta)
     encoded = _encoded(df, col)
     state = sketch_agg(encoded, "_key", sketch)
-    spark = df.sparkSession
-    probe_df = spark.createDataFrame([(v,) for v in probe_keys], f"{col} {dict(df.dtypes)[col]}")
-    hashed = [r["_key"] for r in _encoded(probe_df, col).select("_key").collect()]
-    ests = sketch.estimate(state, np.asarray(hashed, dtype=np.int64))
+    if probe_hashed is None:
+        spark = df.sparkSession
+        probe_df = spark.createDataFrame(
+            [(v,) for v in probe_keys], f"{col} {dict(df.dtypes)[col]}"
+        )
+        probe_hashed = [
+            r["_key"] for r in _encoded(probe_df, col).select("_key").collect()
+        ]
+    elif len(probe_hashed) != len(probe_keys):
+        raise ValueError("probe_hashed must align with probe_keys")
+    ests = sketch.estimate(state, np.asarray(probe_hashed, dtype=np.int64))
     return {value: int(est) for value, est in zip(probe_keys, ests)}
 
 
