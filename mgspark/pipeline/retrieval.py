@@ -214,14 +214,19 @@ def bm25_build(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    postings.count()
-    # The corpus-scalar aggregate doubles as docs' materialization —
-    # scanning the persisted-but-cold relation caches every partition,
-    # so a separate docs.count() job is redundant.
-    stats = docs.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
-    ).first()
+    # ONE build job: the corpus-scalar aggregate crossJoined with a
+    # 1-row postings count materializes BOTH persisted relations (their
+    # cold caches fill while the aggregates scan them) and returns the
+    # scalars — previously a postings.count() wave then a docs
+    # aggregate wave.
+    stats = (
+        docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+        )
+        .crossJoin(postings.agg(F.count(F.lit(1)).alias("_np")))
+        .first()
+    )
     return BM25Index(
         postings=postings,
         docs=docs,
